@@ -1,0 +1,72 @@
+"""Batch normalization with torch BatchNorm2d semantics (NHWC).
+
+The reference uses ``nn.BatchNorm2d`` inside every DoubleConv (reference:
+mimo/models/mimo_components/components.py:24,27) with defaults eps=1e-5,
+momentum=0.1, affine=True, track_running_stats=True.
+
+Torch-parity details preserved here:
+  * training mode normalizes with the *biased* batch variance but updates
+    the running variance with the *unbiased* estimate;
+  * running_mean/var update: r = (1-momentum)*r + momentum*batch_stat;
+  * eval mode normalizes with running stats.
+
+State is explicit: ``batch_norm`` returns the updated running stats, which
+the caller threads through the train step (no module mutation).  Statistics
+are computed in float32 even when activations are bfloat16.  Under ``jit``
+with a batch-sharded mesh, the means below are global-batch means — XLA
+inserts the cross-chip reductions, which reproduces the reference's
+single-device global-batch statistics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def batch_norm_init(num_features: int, dtype=jnp.float32) -> Tuple[dict, dict]:
+    """Returns (params, state): scale/bias and running mean/var (+num_batches)."""
+    params = {
+        "scale": jnp.ones((num_features,), dtype),
+        "bias": jnp.zeros((num_features,), dtype),
+    }
+    state = {
+        "mean": jnp.zeros((num_features,), jnp.float32),
+        "var": jnp.ones((num_features,), jnp.float32),
+    }
+    return params, state
+
+
+def batch_norm(
+    x: jax.Array,
+    params: dict,
+    state: dict,
+    *,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jax.Array, dict]:
+    """Normalize over (N, H, W) per channel.  Returns (y, new_state)."""
+    reduce_axes = tuple(range(x.ndim - 1))
+    x32 = x.astype(jnp.float32)
+
+    if train:
+        mean = jnp.mean(x32, axis=reduce_axes)
+        var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+        n = 1
+        for a in reduce_axes:
+            n *= x.shape[a]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+
+    inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+    y = (x32 - mean) * inv + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), new_state

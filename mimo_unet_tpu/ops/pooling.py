@@ -1,0 +1,79 @@
+"""2x2 max pooling and index-based unpooling (NHWC).
+
+Covers the reference ``Down`` block (reference: mimo/models/mimo_components/
+components.py:36-57: MaxPool2d(2), optionally return_indices) and the
+``MaxUnpool2d`` path of ``Up`` (components.py:92,107).
+
+Instead of torch's flat scatter indices, pooling-with-indices here keeps a
+*local* 2x2 argmax code (0..3) per output pixel; unpooling turns the code
+into a one-hot over the 2x2 window and multiplies — no gather/scatter at
+all, just reshapes and a vectorized select, which XLA maps cleanly onto the
+VPU.  Torch flat-index parity is provided for interop tests via
+``local_to_torch_flat_indices``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """NHWC 2x2/stride-2 max pool. Odd trailing row/col is dropped (torch floor)."""
+    b, h, w, c = x.shape
+    x = x[:, : h - h % 2, : w - w % 2, :]
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def _as_windows(x: jax.Array):
+    """[B,H,W,C] -> [B,H/2,W/2,C,4] where the last axis enumerates the 2x2
+    window in row-major order (matching torch's flat-index order)."""
+    b, h, w, c = x.shape
+    x = x[:, : h - h % 2, : w - w % 2, :]
+    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xw = xw.transpose(0, 1, 3, 5, 2, 4)  # [B, H/2, W/2, C, 2, 2]
+    return xw.reshape(b, h // 2, w // 2, c, 4)
+
+
+def max_pool_2x2_with_indices(x: jax.Array):
+    """Returns (pooled [B,H/2,W/2,C], local_idx int32 [B,H/2,W/2,C] in 0..3).
+
+    ``local_idx`` is the row-major argmax within each 2x2 window; ties pick
+    the first occurrence, matching torch's MaxPool2d(return_indices=True).
+    """
+    xw = _as_windows(x)
+    idx = jnp.argmax(xw, axis=-1).astype(jnp.int32)
+    pooled = jnp.max(xw, axis=-1)
+    return pooled, idx
+
+
+def max_unpool_2x2(x: jax.Array, local_idx: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Inverse of max_pool_2x2_with_indices: place each value at its argmax
+    position within the 2x2 window, zeros elsewhere."""
+    b, hp, wp, c = x.shape
+    onehot = jax.nn.one_hot(local_idx, 4, dtype=x.dtype)  # [B,Hp,Wp,C,4]
+    y = x[..., None] * onehot
+    y = y.reshape(b, hp, wp, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+    y = y.reshape(b, hp * 2, wp * 2, c)
+    if (out_h, out_w) != (hp * 2, wp * 2):
+        pad = [(0, 0), (0, out_h - hp * 2), (0, out_w - wp * 2), (0, 0)]
+        y = jnp.pad(y, pad)
+    return y
+
+
+def local_to_torch_flat_indices(local_idx: jax.Array, in_w: int) -> jax.Array:
+    """Convert local 2x2 codes to torch MaxPool2d flat indices (h*W + w),
+    for cross-framework tests."""
+    b, hp, wp, c = local_idx.shape
+    i = jnp.arange(hp, dtype=jnp.int32).reshape(1, hp, 1, 1)
+    j = jnp.arange(wp, dtype=jnp.int32).reshape(1, 1, wp, 1)
+    r, s = local_idx // 2, local_idx % 2
+    return (2 * i + r) * in_w + (2 * j + s)

@@ -1,0 +1,78 @@
+"""Bilinear x2 upsampling with align_corners=True, and pad-to-match.
+
+The reference ``Up`` block (reference: mimo/models/mimo_components/
+components.py:78,106-119) upsamples with
+``nn.Upsample(scale_factor=2, mode="bilinear", align_corners=True)`` then
+zero-pads to match the skip tensor and concatenates.
+
+``jax.image.resize`` uses half-pixel centers, which differs from
+align_corners by up to several 1e-2 — far beyond the 1e-3 parity budget —
+so the align-corners gather/lerp is rolled by hand here.  Sampling grid:
+``src = dst * (in - 1) / (out - 1)`` per spatial axis.  Because out = 2*in,
+the index/weight tables are static arrays baked into the jitted program;
+the op is two axis-wise gather+lerp passes (VPU-bound, fuses with
+neighbors under XLA).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _align_corners_tables(in_size: int, out_size: int):
+    """Static (lo_idx, hi_idx, frac) tables for 1D align-corners resize."""
+    if in_size == 1:
+        lo = np.zeros(out_size, dtype=np.int32)
+        return lo, lo, np.zeros(out_size, dtype=np.float32)
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.floor(src).astype(np.int32)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = (src - lo).astype(np.float32)
+    return lo, lo + 1, frac
+
+
+def _resize_axis_align_corners(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if out_size == in_size:
+        return x
+    lo, hi, frac = _align_corners_tables(in_size, out_size)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=axis)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = jnp.asarray(frac).astype(x.dtype).reshape(shape)
+    return x_lo * (1 - w) + x_hi * w
+
+
+def upsample_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """NHWC bilinear resize with align_corners=True (torch semantics)."""
+    x = _resize_axis_align_corners(x, axis=-3, out_size=out_h)
+    x = _resize_axis_align_corners(x, axis=-2, out_size=out_w)
+    return x
+
+
+def upsample_bilinear_x2_align_corners(x: jax.Array) -> jax.Array:
+    """NHWC x2 bilinear upsample, align_corners=True."""
+    h, w = x.shape[-3], x.shape[-2]
+    return upsample_bilinear_align_corners(x, 2 * h, 2 * w)
+
+
+def pad_to_match(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
+    """Zero-pad NHWC spatial dims to (target_h, target_w), torch F.pad split.
+
+    Mirrors components.py:112-115: pad = [dX//2, dX-dX//2, dY//2, dY-dY//2].
+    Sizes are static under jit, so this folds away when no padding is needed
+    (the common even-sized case).
+    """
+    dy = target_h - x.shape[-3]
+    dx = target_w - x.shape[-2]
+    if dy == 0 and dx == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 3) + [
+        (dy // 2, dy - dy // 2),
+        (dx // 2, dx - dx // 2),
+        (0, 0),
+    ]
+    return jnp.pad(x, pad)
