@@ -64,13 +64,15 @@ def conv2d(
     "REFLECT" applies torch's ``padding_mode="reflect"`` with pad = (k-1)//2
     (the DoubleConv 3x3 configuration) before a VALID conv.
 
-    ``compute_dtype`` casts inputs and weights (e.g. to bfloat16) while
-    accumulating in float32 via ``preferred_element_type`` — the TPU
-    mixed-precision analog of the reference's "16-mixed" AMP.
+    ``compute_dtype`` casts inputs and weights (e.g. to bfloat16) and the
+    output *stays* in that dtype — the TPU mixed-precision recipe: bf16
+    activations end-to-end (the MXU accumulates in f32 in hardware), f32
+    master weights, f32 upcast only at normalization/loss boundaries.
+    (``preferred_element_type`` upcasting is avoided: jax 0.9's conv
+    transpose rule mismatches dtypes when differentiating through it.)
     """
     w, b = params["w"], params["b"]
     kh, kw = w.shape[0], w.shape[1]
-    out_dtype = x.dtype
 
     if padding == "REFLECT":
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
@@ -84,6 +86,8 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    elif x.dtype != w.dtype:
+        w = w.astype(x.dtype)
 
     y = lax.conv_general_dilated(
         x,
@@ -92,10 +96,8 @@ def conv2d(
         padding=pad_cfg,
         dimension_numbers=_DIMENSION_NUMBERS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
-    y = y + b.astype(jnp.float32)
-    return y.astype(out_dtype)
+    return y + b.astype(y.dtype)
 
 
 def conv_transpose2d_init(
@@ -142,10 +144,11 @@ def conv_transpose2d(
     """
     w, b = params["w"], params["b"]
     kh, kw = w.shape[0], w.shape[1]
-    out_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    elif x.dtype != w.dtype:
+        w = w.astype(x.dtype)
     y = lax.conv_general_dilated(
         x,
         jnp.flip(w, axis=(0, 1)),
@@ -154,7 +157,5 @@ def conv_transpose2d(
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMENSION_NUMBERS,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
-    y = y + b.astype(jnp.float32)
-    return y.astype(out_dtype)
+    return y + b.astype(y.dtype)
