@@ -1,0 +1,152 @@
+"""TPU-first data pipeline core.
+
+The reference feeds the GPU through torch DataLoader worker processes
+(reference: mimo/tasks/depth/nyuv2_datamodule.py:52-60).  On TPU the chip
+must never wait on the host, so the pipeline here is:
+
+  host numpy arrays -> vectorized batch slicing (no per-item Python work)
+    -> background-thread prefetch queue -> ``jax.device_put`` (async)
+
+Datasets are dicts of numpy arrays sharing the leading dimension
+(``ArrayDataset``); per-epoch shuffling is one permutation, and a batch is
+one fancy-index slice — there is no per-sample ``__getitem__`` hot path to
+parallelize, which replaces the reference's ``num_workers`` machinery.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+import jax
+
+
+Batch = Dict[str, np.ndarray]
+
+
+class ArrayDataset:
+    """A dict of same-leading-dim numpy arrays with vectorized batch access."""
+
+    def __init__(self, data: Dict[str, np.ndarray]):
+        lens = {k: len(v) for k, v in data.items()}
+        if len(set(lens.values())) > 1:
+            raise ValueError(f"mismatched leading dims: {lens}")
+        self.data = data
+
+    def __len__(self) -> int:
+        return len(next(iter(self.data.values())))
+
+    def __getitem__(self, index) -> Batch:
+        return {k: v[index] for k, v in self.data.items()}
+
+    @property
+    def keys(self):
+        return self.data.keys()
+
+    def map(self, fn: Callable[[str, np.ndarray], np.ndarray]) -> "ArrayDataset":
+        return ArrayDataset({k: fn(k, v) for k, v in self.data.items()})
+
+
+def iterate_batches(
+    dataset: ArrayDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    seed: Optional[int] = None,
+    epoch: int = 0,
+) -> Iterator[Batch]:
+    """Yield batch dicts.  Shuffling reseeds per epoch (seed + epoch)."""
+    n = len(dataset)
+    if shuffle:
+        rng = np.random.default_rng(None if seed is None else seed + epoch)
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, end, batch_size):
+        idx = order[start : start + batch_size]
+        yield dataset[idx]
+
+
+def prefetch_to_device(
+    iterator: Iterator[Batch],
+    *,
+    size: int = 2,
+    sharding=None,
+) -> Iterator[Batch]:
+    """Overlap host batch assembly with device compute.
+
+    A background thread drains ``iterator`` (h5 slicing, shuffling, copies)
+    into a bounded queue; the consumer issues the (async-dispatch)
+    ``jax.device_put`` — optionally with a ``NamedSharding`` so batches land
+    already sharded across the mesh.  The device transfer is intentionally
+    NOT done in the producer thread: some PJRT backends (e.g. the axon
+    remote-compile relay used on single-chip TPU testbeds) deadlock when a
+    device_put races a compile on another thread.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put({k: v for k, v in batch.items() if v is not None})
+        except Exception as e:  # surface producer errors to the consumer
+            q.put(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield {
+            k: (jax.device_put(v, sharding) if sharding is not None else jax.device_put(v))
+            for k, v in item.items()
+        }
+
+
+class DataModule:
+    """Train/val/test split container mirroring the reference DataModule
+    surface (setup + {train,val,test}_dataloader), minus torch."""
+
+    batch_size: int
+
+    def setup(self) -> None:
+        raise NotImplementedError
+
+    def train_dataset(self) -> ArrayDataset:
+        raise NotImplementedError
+
+    def val_dataset(self) -> Optional[ArrayDataset]:
+        return None
+
+    def test_dataset(self) -> Optional[ArrayDataset]:
+        return None
+
+    # dataloader-style iterators -------------------------------------------
+
+    def train_batches(self, epoch: int, seed: int = 0) -> Iterator[Batch]:
+        return iterate_batches(
+            self.train_dataset(), self.batch_size,
+            shuffle=True, drop_last=True, seed=seed, epoch=epoch,
+        )
+
+    def val_batches(self) -> Iterator[Batch]:
+        ds = self.val_dataset()
+        if ds is None:
+            return iter(())
+        return iterate_batches(ds, self.batch_size, drop_last=False)
+
+    def test_batches(self) -> Iterator[Batch]:
+        ds = self.test_dataset()
+        if ds is None:
+            return iter(())
+        return iterate_batches(ds, self.batch_size, drop_last=False)

@@ -165,9 +165,9 @@ def evidential_nig_loss(
 class EvidentialLoss:
     """Normal-Inverse-Gamma evidential loss (reference losses.py:195-271).
 
-    ``evidential_output`` packs (gamma, v, alpha, beta) on axis 1:
-    [B, 4, H, W] channels-anywhere — unbinding happens on axis 1 exactly like
-    the reference's torch.unbind(dim=1).
+    ``evidential_output`` packs (gamma, v, alpha, beta) on the LAST axis —
+    NHWC-native [B, H, W, 4] (the reference unbinds torch dim=1 of NCHW; same
+    four parameters, channels-last here).  ``y_true`` is [B, H, W, 1].
     """
 
     num_distribution_params = 4
@@ -188,12 +188,12 @@ class EvidentialLoss:
         reduce_mean: bool = False,
     ) -> jax.Array:
         gamma, v, alpha, beta = (
-            evidential_output[:, 0],
-            evidential_output[:, 1],
-            evidential_output[:, 2],
-            evidential_output[:, 3],
+            evidential_output[..., 0],
+            evidential_output[..., 1],
+            evidential_output[..., 2],
+            evidential_output[..., 3],
         )
-        loss = evidential_nig_loss(gamma, v, alpha, beta, jnp.squeeze(y_true, axis=1))
+        loss = evidential_nig_loss(gamma, v, alpha, beta, jnp.squeeze(y_true, axis=-1))
         if mask is not None:
             loss = loss * mask
         return jnp.mean(loss) if reduce_mean else loss
@@ -202,18 +202,18 @@ class EvidentialLoss:
 
     @staticmethod
     def mode(evidential_output):
-        return evidential_output[:, 0]
+        return evidential_output[..., 0]
 
     @staticmethod
     def aleatoric_var(evidential_output):
-        alpha, beta = evidential_output[:, 2], evidential_output[:, 3]
+        alpha, beta = evidential_output[..., 2], evidential_output[..., 3]
         return beta / (alpha - 1.0)
 
     @staticmethod
     def epistemic_var(evidential_output):
         v, alpha, beta = (
-            evidential_output[:, 1],
-            evidential_output[:, 2],
-            evidential_output[:, 3],
+            evidential_output[..., 1],
+            evidential_output[..., 2],
+            evidential_output[..., 3],
         )
         return beta / (v * (alpha - 1.0))

@@ -1,0 +1,64 @@
+"""Device mesh + sharding layer (data parallelism over ICI).
+
+The reference is strictly single-device (reference: scripts/train/
+train_nyuv2_depth.py:72-73, ``devices=1``; no process groups anywhere).
+This framework scales the TPU-native way instead: a 1-D ``jax.sharding.Mesh``
+over all local chips with the batch axis sharded and parameters replicated.
+The train step stays written as global-batch math — under ``jit`` with these
+shardings XLA partitions the program and inserts the ICI collectives
+(gradient psum, BatchNorm statistics reductions), which exactly reproduces
+the reference's single-device global-batch semantics at any device count.
+
+Multi-host (DCN) scaling hooks in via ``jax.distributed.initialize`` before
+``make_mesh``; ``jax.devices()`` then spans hosts and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    """Place a host batch dict with the batch axis sharded over the mesh."""
+    sharding = batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, sharding) for k, v in batch.items() if v is not None
+    }
+
+
+def pad_batch_to_divisible(batch: Dict[str, np.ndarray], n: int):
+    """Pad the batch dim up to a multiple of ``n`` (for uneven final val
+    batches under data parallelism).  Returns (padded_batch, real_count)."""
+    b = len(next(iter(batch.values())))
+    rem = (-b) % n
+    if rem == 0:
+        return batch, b
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[-1:], rem, axis=0)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, b

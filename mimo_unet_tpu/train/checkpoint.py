@@ -1,0 +1,137 @@
+"""Checkpoint/resume with the checkpoint-carries-hparams contract.
+
+The reference relies on Lightning's ``save_hyperparameters`` so that
+``load_from_checkpoint(path)`` rebuilds the model with zero config
+(reference: mimo/models/mimo_unet.py:83-87, ensemble.py:42).  Here a
+checkpoint directory holds an Orbax pytree (params, model_state, opt_state,
+loss buffer, step) plus ``hparams.json``, and ``load_checkpoint`` /
+``rebuild_task`` restore both the state and the task object — the same
+zero-config contract, which the ensemble/eval tooling depends on.
+
+Also supported: loading PyTorch reference ``.ckpt`` files directly via
+``mimo_unet_tpu.interop`` (so users can migrate trained models).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+HPARAMS_FILE = "hparams.json"
+STATE_DIR = "state"
+
+
+def _task_from_hparams(hparams: Dict[str, Any]):
+    from mimo_unet_tpu.tasks.evidential import EvidentialUnetTask
+    from mimo_unet_tpu.tasks.mimo import MimoUnetTask
+
+    kind = hparams.get("task", "mimo_unet")
+    cls = {"mimo_unet": MimoUnetTask, "evidential_unet": EvidentialUnetTask}[kind]
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in hparams.items() if k in field_names})
+
+
+def save_checkpoint(path: str, state, hparams: Dict[str, Any]) -> None:
+    """Write an Orbax checkpoint + hparams.json under ``path``."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, HPARAMS_FILE), "w") as f:
+        json.dump(hparams, f, indent=2, default=str)
+    ckptr = ocp.StandardCheckpointer()
+    state_path = os.path.join(path, STATE_DIR)
+    ckptr.save(state_path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_hparams(path: str) -> Dict[str, Any]:
+    with open(os.path.join(path, HPARAMS_FILE)) as f:
+        return json.load(f)
+
+
+def load_checkpoint(path: str, steps_per_epoch: int = 1):
+    """Restore (task, TrainState) from a checkpoint directory.
+
+    ``steps_per_epoch`` is only needed to rebuild the optimizer pytree
+    structure; the restored opt_state overwrites its values.
+
+    If ``path`` points at a PyTorch Lightning ``.ckpt`` file from the
+    reference implementation, it is converted on the fly (optimizer state
+    starts fresh in that case).
+    """
+    if path.endswith(".ckpt") and os.path.isfile(path):
+        return _load_reference_ckpt(path, steps_per_epoch)
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    hparams = load_hparams(path)
+    task = _task_from_hparams(hparams)
+    abstract = task.init_state(steps_per_epoch)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(
+        os.path.join(path, STATE_DIR),
+        jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract),
+    )
+    return task, state
+
+
+def _load_reference_ckpt(path: str, steps_per_epoch: int):
+    """Convert a reference Lightning checkpoint into (task, TrainState)."""
+    import jax.numpy as jnp
+
+    from mimo_unet_tpu.interop import load_reference_checkpoint
+    from mimo_unet_tpu.tasks.mimo import TrainState
+
+    cfg, params, model_state, hparams = load_reference_checkpoint(path)
+    task_hparams = dict(hparams)
+    task_hparams.setdefault("task", "mimo_unet")
+    task = _task_from_hparams(task_hparams)
+    base = task.init_state(steps_per_epoch)
+    return task, TrainState(
+        step=base.step,
+        params=params,
+        model_state=model_state,
+        opt_state=base.opt_state,
+        loss_buffer=base.loss_buffer,
+    )
+
+
+class CheckpointManager:
+    """save_last + best-by-val_loss retention, like the reference's
+    ModelCheckpoint callbacks (train_nyuv2_depth.py:22-36)."""
+
+    def __init__(self, root: str, hparams: Dict[str, Any]):
+        self.root = os.path.abspath(root)
+        self.hparams = hparams
+        self.best_val_loss = float("inf")
+        os.makedirs(self.root, exist_ok=True)
+
+    @property
+    def last_path(self) -> str:
+        return os.path.join(self.root, "last")
+
+    @property
+    def best_path(self) -> str:
+        return os.path.join(self.root, "best")
+
+    def save_last(self, state) -> None:
+        save_checkpoint(self.last_path, state, self.hparams)
+
+    def maybe_save_best(self, state, val_loss: float, epoch: int, step: int) -> bool:
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = float(val_loss)
+            hp = dict(self.hparams)
+            hp["best"] = {"epoch": epoch, "step": step, "val_loss": float(val_loss)}
+            save_checkpoint(self.best_path, state, hp)
+            return True
+        return False
+
+    def has_last(self) -> bool:
+        return os.path.isdir(os.path.join(self.last_path, STATE_DIR))

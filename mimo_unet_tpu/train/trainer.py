@@ -1,0 +1,201 @@
+"""Training harness: the Lightning-Trainer role, TPU-native.
+
+One jitted train step (with buffer donation) over a data-parallel mesh;
+background host->device prefetch; scalar logging on a cadence that never
+blocks the chip; image-grid monitoring (the reference's OutputMonitor
+callback); save_last + best-by-val_loss checkpointing with resume.
+
+Equivalent reference surface: pl.Trainer(...).fit(model, dm) as configured
+in scripts/train/train_nyuv2_depth.py:70-82 (max_epochs, log_every_n_steps,
+16-mixed AMP -> compute_dtype="bfloat16", ModelCheckpoint callbacks).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+
+from mimo_unet_tpu.data.core import DataModule, prefetch_to_device
+from mimo_unet_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_divisible,
+    replicated_sharding,
+)
+from mimo_unet_tpu.train.checkpoint import CheckpointManager
+from mimo_unet_tpu.train.logging import MetricLogger, TSVLogger
+from mimo_unet_tpu.visualization import output_monitor_images
+
+
+class Trainer:
+    def __init__(
+        self,
+        task,
+        datamodule: DataModule,
+        *,
+        max_epochs: int,
+        checkpoint_path: str,
+        logger: Optional[MetricLogger] = None,
+        log_every_n_steps: int = 200,
+        monitor_mode: str = "depth",
+        log_images: bool = True,
+        mesh=None,
+        num_devices: Optional[int] = None,
+        seed: int = 42,
+    ):
+        self.task = task
+        self.dm = datamodule
+        self.max_epochs = max_epochs
+        self.log_every_n_steps = log_every_n_steps
+        self.monitor_mode = monitor_mode
+        self.log_images = log_images
+        self.seed = seed
+        self.mesh = mesh if mesh is not None else make_mesh(num_devices)
+        self.logger = logger if logger is not None else TSVLogger(checkpoint_path)
+        self.ckpt = CheckpointManager(checkpoint_path, task.hparams())
+        self.history: list = []
+
+    # ------------------------------------------------------------------ fit
+
+    def fit(self, resume: bool = False):
+        task, dm = self.task, self.dm
+        dm.setup()
+        n_train = len(dm.train_dataset())
+        steps_per_epoch = max(n_train // dm.batch_size, 1)
+        tx = task.make_optimizer(steps_per_epoch)
+
+        if resume and self.ckpt.has_last():
+            from mimo_unet_tpu.train.checkpoint import load_checkpoint
+
+            _, state = load_checkpoint(self.ckpt.last_path, steps_per_epoch)
+            start_epoch = int(state.step) // steps_per_epoch
+            print(f"[trainer] resumed from step {int(state.step)} (epoch {start_epoch})")
+        else:
+            state = task.init_state(steps_per_epoch)
+            start_epoch = 0
+
+        repl = replicated_sharding(self.mesh)
+        data_shard = batch_sharding(self.mesh)
+        state = jax.device_put(state, repl)
+        rng = jax.device_put(jax.random.key(self.seed), repl)
+
+        train_step = jax.jit(
+            partial(task.train_step, tx, with_outputs=False),
+            donate_argnums=(0,),
+            in_shardings=(repl, data_shard, repl),
+            out_shardings=(repl, repl, None),
+        )
+        train_step_with_outputs = jax.jit(
+            partial(task.train_step, tx, with_outputs=True),
+            in_shardings=(repl, data_shard, repl),
+        )
+        val_step = jax.jit(
+            task.val_step, in_shardings=(repl, repl, data_shard)
+        )
+
+        n_dev = self.mesh.size
+        global_step = int(state.step)
+        for epoch in range(start_epoch, self.max_epochs):
+            # ---------------- train ----------------
+            t_epoch = time.time()
+            images_seen = 0
+            pending_logs = None
+            batches = prefetch_to_device(
+                dm.train_batches(epoch, seed=self.seed), sharding=data_shard
+            )
+            for batch in batches:
+                want_images = (
+                    self.log_images
+                    and self.log_every_n_steps > 0
+                    and global_step % self.log_every_n_steps == 0
+                )
+                if want_images:
+                    new_state, logs, outputs = train_step_with_outputs(
+                        state, batch, rng
+                    )
+                    self._log_images(global_step, outputs, stage="train")
+                    state = new_state
+                else:
+                    state, logs, _ = train_step(state, batch, rng)
+                images_seen += len(next(iter(batch.values())))
+                if self.log_every_n_steps > 0 and global_step % self.log_every_n_steps == 0:
+                    # fetch the *previous* pending logs so we never sync on
+                    # the step we just dispatched
+                    if pending_logs is not None:
+                        self._flush_scalars(*pending_logs)
+                    pending_logs = (global_step, logs)
+                global_step += 1
+            if pending_logs is not None:
+                self._flush_scalars(*pending_logs)
+                pending_logs = None
+
+            dt = time.time() - t_epoch
+            throughput = images_seen / dt if dt > 0 else 0.0
+
+            # ---------------- validation ----------------
+            val_logs = self.validate(state, val_step, n_dev)
+            epoch_scalars = {
+                "epoch": epoch,
+                "throughput_images_per_sec": throughput,
+                **val_logs,
+            }
+            self.logger.log_scalars(global_step, epoch_scalars)
+            self.history.append(epoch_scalars)
+            print(
+                f"[epoch {epoch}] {throughput:.1f} img/s  "
+                + "  ".join(
+                    f"{k}={v:.5f}" for k, v in val_logs.items() if k == "val_loss"
+                )
+            )
+
+            # ---------------- checkpoint ----------------
+            self.ckpt.save_last(state)
+            if "val_loss" in val_logs:
+                self.ckpt.maybe_save_best(
+                    state, val_logs["val_loss"], epoch, global_step
+                )
+        return state
+
+    # ------------------------------------------------------------ validation
+
+    def validate(self, state, val_step, n_dev: int) -> dict:
+        sums: dict = {}
+        count = 0
+        first_outputs = None
+        for batch in self.dm.val_batches():
+            batch, real = pad_batch_to_divisible(batch, n_dev)
+            batch = {k: v for k, v in batch.items() if v is not None}
+            logs, outputs = val_step(state.params, state.model_state, batch)
+            if first_outputs is None:
+                first_outputs = outputs
+            w = real
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * w
+            count += w
+        if count == 0:
+            return {}
+        if self.log_images and first_outputs is not None:
+            self._log_images(int(state.step), first_outputs, stage="val")
+        return {k: v / count for k, v in sums.items()}
+
+    # ---------------------------------------------------------------- helpers
+
+    def _flush_scalars(self, step: int, logs) -> None:
+        self.logger.log_scalars(step, {k: float(v) for k, v in logs.items()})
+
+    def _log_images(self, step: int, outputs: dict, stage: str) -> None:
+        if not self.log_images:
+            return
+        try:
+            host = {
+                k: (np.asarray(v) if v is not None else None)
+                for k, v in outputs.items()
+            }
+            for name, img in output_monitor_images(host, self.monitor_mode).items():
+                self.logger.log_image(step, f"{stage}/{name}", img)
+        except Exception as e:
+            print(f"[trainer] image logging failed: {e}")

@@ -126,16 +126,19 @@ class TestLossParityVsReference:
         tref = RefEv(coeff=1.0)
         want = tref.forward(torch.tensor(out), torch.tensor(y)).numpy()
         mine = EvidentialLoss(coeff=1.0)
-        got = mine(jnp.asarray(out), jnp.asarray(y))
+        # mine is NHWC channels-last; reference is NCHW axis-1
+        out_nhwc = jnp.asarray(np.moveaxis(out, 1, -1))
+        y_nhwc = jnp.asarray(np.moveaxis(y, 1, -1))
+        got = mine(out_nhwc, y_nhwc)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
 
         np.testing.assert_allclose(
-            np.asarray(mine.aleatoric_var(jnp.asarray(out))),
+            np.asarray(mine.aleatoric_var(out_nhwc)),
             RefEv.aleatoric_var(torch.tensor(out)).numpy(),
             rtol=1e-5,
         )
         np.testing.assert_allclose(
-            np.asarray(mine.epistemic_var(jnp.asarray(out))),
+            np.asarray(mine.epistemic_var(out_nhwc)),
             RefEv.epistemic_var(torch.tensor(out)).numpy(),
             rtol=1e-5,
         )

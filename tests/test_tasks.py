@@ -1,0 +1,241 @@
+"""Task layer + trainer end-to-end tests on synthetic data (CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mimo_unet_tpu.tasks import EvidentialUnetTask, MimoUnetTask
+from mimo_unet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from mimo_unet_tpu.train.optim import step_lr_schedule
+
+
+def tiny_task(**kw):
+    base = dict(
+        in_channels=3,
+        out_channels=2,
+        num_subnetworks=2,
+        filter_base_count=4,
+        loss="laplace_nll",
+        seed=0,
+    )
+    base.update(kw)
+    return MimoUnetTask(**base)
+
+
+def synthetic_batch(rng, b=8, h=32, w=32, c_in=3, c_out=1, with_mask=False):
+    image = rng.uniform(size=(b, h, w, c_in)).astype(np.float32)
+    label = image.mean(axis=-1, keepdims=True).astype(np.float32)[..., :c_out]
+    batch = {"image": jnp.asarray(image), "label": jnp.asarray(label)}
+    if with_mask:
+        batch["mask"] = jnp.asarray(
+            (rng.uniform(size=(b, h, w, 1)) > 0.2).astype(np.float32)
+        )
+    return batch
+
+
+class TestStepLR:
+    def test_epoch_floored_decay(self):
+        sched = step_lr_schedule(1e-3, step_size=2, gamma=0.5, steps_per_epoch=10)
+        assert sched(0) == 1e-3
+        assert sched(19) == 1e-3  # epoch 1 < step_size
+        assert sched(20) == 5e-4  # epoch 2
+        assert sched(59) == 2.5e-4  # epoch 5
+
+
+class TestMimoTrainStep:
+    def test_loss_decreases(self, rng):
+        task = tiny_task()
+        tx = task.make_optimizer(steps_per_epoch=10)
+        state = task.init_state(steps_per_epoch=10)
+        batch = synthetic_batch(rng)
+        key = jax.random.key(0)
+
+        import functools
+
+        step = jax.jit(functools.partial(task.train_step, tx, with_outputs=False))
+        first = None
+        for _ in range(30):
+            state, logs, _ = step(state, batch, key)
+            if first is None:
+                first = float(logs["train_loss"])
+        last = float(logs["train_loss"])
+        assert last < first, (first, last)
+        assert int(state.step) == 30
+
+    def test_logs_and_outputs_schema(self, rng):
+        task = tiny_task(loss_buffer_size=4)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng, with_mask=True)
+        state, logs, outputs = task.train_step(
+            tx, state, batch, jax.random.key(0), with_outputs=True
+        )
+        for k in (
+            "train_loss", "train_loss_0", "train_loss_1",
+            "train_weight_0", "train_weight_1",
+            "metric_train/r2", "metric_train/mae", "metric_train/mse",
+            "metric_train/rmse",
+        ):
+            assert k in logs, k
+        # outputs flattened over the S axis
+        assert outputs["preds"].shape == (16, 32, 32, 1)
+        assert outputs["mask"].shape == (16, 32, 32, 1)
+        # loss buffer recorded this step
+        assert float(jnp.abs(state.loss_buffer.buffer).sum()) > 0
+
+    def test_val_step_schema(self, rng):
+        task = tiny_task()
+        state = task.init_state(10)
+        batch = synthetic_batch(rng)
+        logs, outputs = task.val_step(state.params, state.model_state, batch)
+        for k in (
+            "val_loss", "val_loss_0", "val_loss_1", "val_loss_combined",
+            "metric_val/r2", "metric_val/aleatoric_std_mean",
+            "metric_val/epistemic_std_mean",
+        ):
+            assert k in logs, k
+        assert outputs["preds"].shape == (8, 32, 32, 1)
+        assert outputs["epistemic_std_map"].shape == (8, 32, 32, 1)
+        # epistemic variance must be nonzero for S=2 with random init
+        assert float(jnp.mean(outputs["epistemic_std_map"])) > 0
+
+    def test_input_repetition_and_batch_repetitions(self, rng):
+        task = tiny_task(input_repetition_probability=0.5, batch_repetitions=2)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng, b=4)
+        state, logs, outputs = task.train_step(
+            tx, state, batch, jax.random.key(0), with_outputs=True
+        )
+        # B*reps*S flattened
+        assert outputs["preds"].shape[0] == 4 * 2 * 2
+
+
+class TestEvidentialTrainStep:
+    def test_loss_decreases_and_positivity(self, rng):
+        task = EvidentialUnetTask(in_channels=3, filter_base_count=4, seed=0)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng)
+        import functools
+
+        step = jax.jit(functools.partial(task.train_step, tx, with_outputs=False))
+        first = None
+        for _ in range(30):
+            state, logs, _ = step(state, batch, jax.random.key(0))
+            if first is None:
+                first = float(logs["train_loss"])
+        assert float(logs["train_loss"]) < first
+
+        out, _ = task.forward(
+            state.params, state.model_state, batch["image"], train=False
+        )
+        v, alpha, beta = out[..., 1], out[..., 2], out[..., 3]
+        assert float(jnp.min(v)) > 0
+        assert float(jnp.min(alpha)) > 1
+        assert float(jnp.min(beta)) > 0
+
+    def test_val_step(self, rng):
+        task = EvidentialUnetTask(in_channels=3, filter_base_count=4)
+        state = task.init_state(10)
+        logs, outputs = task.val_step(
+            state.params, state.model_state, synthetic_batch(rng)
+        )
+        assert "val_loss" in logs and "metric_val/r2" in logs
+        assert outputs["aleatoric_std_map"].shape == (8, 32, 32, 1)
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_task_rebuild(self, rng, tmp_path):
+        task = tiny_task(loss_buffer_size=3, filter_base_count=5)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng)
+        state, _, _ = task.train_step(tx, state, batch, jax.random.key(0))
+
+        path = os.path.join(tmp_path, "ckpt")
+        save_checkpoint(path, state, task.hparams())
+        task2, state2 = load_checkpoint(path, steps_per_epoch=10)
+
+        assert task2 == task
+        assert int(state2.step) == 1
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # the restored state continues training identically
+        s_a, logs_a, _ = task.train_step(tx, state, batch, jax.random.key(1))
+        s_b, logs_b, _ = task2.train_step(
+            task2.make_optimizer(10), state2, batch, jax.random.key(1)
+        )
+        np.testing.assert_allclose(
+            float(logs_a["train_loss"]), float(logs_b["train_loss"]), rtol=1e-6
+        )
+
+
+class TestTrainerEndToEnd:
+    def test_fit_on_synthetic_h5(self, tmp_path):
+        from make_fixtures import make_nyuv2_h5
+        from mimo_unet_tpu.data.nyuv2 import NYUv2DepthDataModule
+        from mimo_unet_tpu.train.trainer import Trainer
+
+        data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=16, h=32, w=32)
+        dm = NYUv2DepthDataModule(dataset_dir=data_dir, batch_size=8, seed=0)
+        task = tiny_task()
+        trainer = Trainer(
+            task,
+            dm,
+            max_epochs=2,
+            checkpoint_path=os.path.join(tmp_path, "ckpt"),
+            log_every_n_steps=1,
+            log_images=True,
+            seed=0,
+        )
+        state = trainer.fit()
+        assert int(state.step) == 4  # 2 epochs x (16 // 8) steps
+        assert trainer.ckpt.has_last()
+        assert os.path.isdir(trainer.ckpt.best_path)
+        assert len(trainer.history) == 2
+        # images were written by the OutputMonitor-equivalent
+        img_dir = os.path.join(tmp_path, "ckpt", "images")
+        assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) > 0
+
+        # resume continues from the checkpoint
+        trainer2 = Trainer(
+            task,
+            dm,
+            max_epochs=3,
+            checkpoint_path=os.path.join(tmp_path, "ckpt"),
+            log_every_n_steps=0,
+            log_images=False,
+            seed=0,
+        )
+        state2 = trainer2.fit(resume=True)
+        assert int(state2.step) == 6
+
+    def test_fit_sharded_over_mesh(self, tmp_path):
+        """Data-parallel fit over all 8 virtual CPU devices."""
+        from make_fixtures import make_nyuv2_h5
+        from mimo_unet_tpu.data.nyuv2 import NYUv2DepthDataModule
+        from mimo_unet_tpu.train.trainer import Trainer
+
+        assert jax.device_count() >= 8
+        data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=16, h=32, w=32)
+        dm = NYUv2DepthDataModule(dataset_dir=data_dir, batch_size=8, seed=0)
+        task = tiny_task()
+        trainer = Trainer(
+            task,
+            dm,
+            max_epochs=1,
+            checkpoint_path=os.path.join(tmp_path, "ckpt"),
+            log_every_n_steps=0,
+            log_images=False,
+            num_devices=8,
+            seed=0,
+        )
+        state = trainer.fit()
+        assert int(state.step) == 2
+        assert np.isfinite(trainer.history[0]["val_loss"])
