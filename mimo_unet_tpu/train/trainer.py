@@ -68,6 +68,13 @@ class Trainer:
         steps_per_epoch = max(n_train // dm.batch_size, 1)
         tx = task.make_optimizer(steps_per_epoch)
 
+        if dm.batch_size % self.mesh.size != 0:
+            raise ValueError(
+                f"batch_size={dm.batch_size} must be divisible by the mesh "
+                f"size ({self.mesh.size} devices); pass num_devices to shrink "
+                f"the mesh or adjust --batch_size"
+            )
+
         if resume and self.ckpt.has_last():
             from mimo_unet_tpu.train.checkpoint import load_checkpoint
 

@@ -1,0 +1,86 @@
+"""End-to-end CLI tests: train -> eval -> artifacts, via subprocess (CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from make_fixtures import make_nyuv2_h5, make_sen12tp_tiles
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(script, *args, timeout=900):
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PYTHONPATH="",  # skip the axon sitecustomize
+        XLA_FLAGS="",  # single CPU device (conftest exports an 8-device flag)
+        # own cache dir: AOT code cached by the axon-sitecustomize python
+        # has different CPU feature flags and SIGILLs in a clean process
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cli",
+    )
+    cmd = [sys.executable, os.path.join(REPO, script), *map(str, args)]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO
+    )
+    assert proc.returncode == 0, f"{script} failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc
+
+
+@pytest.mark.slow
+class TestTrainEvalCLI:
+    def test_nyuv2_train_then_eval(self, tmp_path):
+        data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=8, h=32, w=32)
+        ckpt_dir = os.path.join(tmp_path, "ckpt")
+        os.makedirs(ckpt_dir)
+
+        run_script(
+            "scripts/train/train_nyuv2_depth.py",
+            "--checkpoint_path", ckpt_dir, "--dataset_dir", data_dir,
+            "--seed", 1, "--max_epochs", 1, "--batch_size", 4,
+            "--num_subnetworks", 2, "--filter_base_count", 4,
+            "--precision", "f32", "--log_every_n_steps", 1,
+        )
+        assert os.path.isdir(os.path.join(ckpt_dir, "last"))
+        assert os.path.exists(os.path.join(ckpt_dir, "last", "hparams.json"))
+        with open(os.path.join(ckpt_dir, "last", "hparams.json")) as f:
+            hp = json.load(f)
+        assert hp["num_subnetworks"] == 2 and hp["loss"] == "laplace_nll"
+
+        result_dir = os.path.join(tmp_path, "results")
+        run_script(
+            "scripts/test/test_nyuv2_depth.py",
+            "--model_checkpoint_paths", os.path.join(ckpt_dir, "last"),
+            "--result_dir", result_dir, "--dataset_dir", data_dir,
+            "--batch_size", 4,
+        )
+        for eps in ("0.0", "0.02", "0.04"):
+            for suffix in ("y_preds.npy", "calibration.csv", "precision_recall.csv",
+                           "metrics.pkl"):
+                path = os.path.join(result_dir, f"test_{eps}_{suffix}")
+                assert os.path.exists(path), path
+        preds = np.load(os.path.join(result_dir, "test_0.0_y_preds.npy"))
+        assert preds.shape == (4, 32, 32)
+
+    def test_ndvi_train_evidential(self, tmp_path):
+        data_dir = make_sen12tp_tiles(os.path.join(tmp_path, "sen"), n_tiles=1,
+                                      size=96, splits=("train", "val"))
+        ckpt_dir = os.path.join(tmp_path, "ckpt")
+        os.makedirs(ckpt_dir)
+        run_script(
+            "scripts/train/train_ndvi_evidential.py",
+            "--checkpoint_path", ckpt_dir, "--dataset_dir", data_dir,
+            "--seed", 1, "--max_epochs", 1, "--batch_size", 2,
+            "--patch_size", "64", "--stride", "32",
+            "-i", "VV_sigma0", "-i", "VH_sigma0", "-t", "NDVI",
+            "--filter_base_count", 4, "--precision", "f32",
+            "--log_every_n_steps", 0,
+        )
+        with open(os.path.join(ckpt_dir, "last", "hparams.json")) as f:
+            hp = json.load(f)
+        assert hp["task"] == "evidential_unet"
+        assert hp["in_channels"] == 2 and hp["out_channels"] == 4
