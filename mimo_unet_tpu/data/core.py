@@ -27,7 +27,11 @@ Batch = Dict[str, np.ndarray]
 
 
 class ArrayDataset:
-    """A dict of same-leading-dim numpy arrays with vectorized batch access."""
+    """A dict of same-leading-dim numpy arrays with vectorized batch access.
+
+    Batch slicing goes through the native multithreaded gather
+    (data/_native/gather.cc) when available; numpy fancy indexing otherwise.
+    """
 
     def __init__(self, data: Dict[str, np.ndarray]):
         lens = {k: len(v) for k, v in data.items()}
@@ -39,6 +43,14 @@ class ArrayDataset:
         return len(next(iter(self.data.values())))
 
     def __getitem__(self, index) -> Batch:
+        if isinstance(index, np.ndarray) and index.ndim == 1:
+            from mimo_unet_tpu.data import _native
+
+            out = {}
+            for k, v in self.data.items():
+                got = _native.gather_rows(v, index) if isinstance(v, np.ndarray) else None
+                out[k] = got if got is not None else v[index]
+            return out
         return {k: v[index] for k, v in self.data.items()}
 
     @property

@@ -231,6 +231,17 @@ class Sen12tpDataset:
 
         self.tiles_image = inputs
         self.tiles_label = targets
+        # uniform tile sizes -> stacked arrays unlock the native patch gather
+        shapes_i = {a.shape for a in inputs}
+        if len(shapes_i) == 1:
+            self._stack_image = np.ascontiguousarray(
+                np.stack(inputs).astype(np.float32)
+            )
+            self._stack_label = np.ascontiguousarray(
+                np.stack(targets).astype(np.float32)
+            )
+        else:
+            self._stack_image = self._stack_label = None
         self.index = np.asarray(index, dtype=np.int64)
         # reference truncation hook: sen12tp_datamodule.py:33 shrinks
         # end_index by training_set_percentage
@@ -241,6 +252,24 @@ class Sen12tpDataset:
 
     def _gather(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         ph, pw = self.patch.height, self.patch.width
+        if self._stack_image is not None:
+            from mimo_unet_tpu.data import _native
+
+            t, y, x = rows[:, 0], rows[:, 1], rows[:, 2]
+            img = _native.gather_patches(self._stack_image, t, y, x, ph, pw)
+            lbl = _native.gather_patches(self._stack_label, t, y, x, ph, pw)
+            if img is not None and lbl is not None:
+                return {"image": img, "label": lbl}
+            # numpy fallback on the stacked tiles (still vectorizable per-row)
+            img = np.stack(
+                [self._stack_image[ti, yi : yi + ph, xi : xi + pw]
+                 for ti, yi, xi in rows]
+            )
+            lbl = np.stack(
+                [self._stack_label[ti, yi : yi + ph, xi : xi + pw]
+                 for ti, yi, xi in rows]
+            )
+            return {"image": img, "label": lbl}
         images, labels = [], []
         for tile_idx, y, x in rows:
             images.append(self.tiles_image[tile_idx][y : y + ph, x : x + pw])

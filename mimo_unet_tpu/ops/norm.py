@@ -50,9 +50,9 @@ def batch_norm(
 ) -> Tuple[jax.Array, dict]:
     """Normalize over (N, H, W) per channel.  Returns (y, new_state)."""
     reduce_axes = tuple(range(x.ndim - 1))
-    x32 = x.astype(jnp.float32)
 
     if train:
+        x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=reduce_axes)
         var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
         n = 1
@@ -63,10 +63,15 @@ def batch_norm(
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
         }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
+        inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
+        y = (x32 - mean) * inv + params["bias"].astype(jnp.float32)
+        return y.astype(x.dtype), new_state
 
+    # eval: the affine is a per-channel constant — compute it in f32 once,
+    # apply in the activation dtype so XLA fuses it into the producing
+    # conv's epilogue instead of round-tripping an f32 copy of x
+    mean, var = state["mean"], state["var"]
     inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
-    y = (x32 - mean) * inv + params["bias"].astype(jnp.float32)
-    return y.astype(x.dtype), new_state
+    shift = params["bias"].astype(jnp.float32) - mean * inv
+    y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+    return y, state

@@ -46,11 +46,39 @@ def _resize_axis_align_corners(x: jax.Array, axis: int, out_size: int) -> jax.Ar
     return x_lo * (1 - w) + x_hi * w
 
 
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] align-corners interpolation matrix (<=2 nonzeros/row)."""
+    lo, hi, frac = _align_corners_tables(in_size, out_size)
+    mat = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, lo), 1.0 - frac)
+    np.add.at(mat, (rows, hi), frac)
+    return mat
+
+
+def _upsample_hw_matmul(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Bilinear align-corners resize as two MXU matmuls.
+
+    TPU-critical: a take-based gather lowers to scalar dynamic-slices and
+    dominated the whole forward pass (~75% of inference time); even the
+    slice+lerp formulation left XLA materializing every intermediate.
+    Contracting against the (banded, <=2 nonzeros per row) interpolation
+    matrix turns the resize into dense matmuls the MXU eats: ~10x faster
+    than the gather at the U-Net's sizes despite the redundant zeros.
+
+    Exact in f32 (the extra terms are multiplications by 0.0); in bf16 the
+    weights quantize like every other bf16 matmul operand.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    wh = jnp.asarray(_interp_matrix(h, out_h)).astype(x.dtype)
+    ww = jnp.asarray(_interp_matrix(w, out_w)).astype(x.dtype)
+    y = jnp.einsum("oh,...hwc->...owc", wh, x)
+    return jnp.einsum("pw,...owc->...opc", ww, y)
+
+
 def upsample_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """NHWC bilinear resize with align_corners=True (torch semantics)."""
-    x = _resize_axis_align_corners(x, axis=-3, out_size=out_h)
-    x = _resize_axis_align_corners(x, axis=-2, out_size=out_w)
-    return x
+    return _upsample_hw_matmul(x, out_h, out_w)
 
 
 def upsample_bilinear_x2_align_corners(x: jax.Array) -> jax.Array:

@@ -68,6 +68,12 @@ class WandbLogger(MetricLogger):
 
         self._wandb = wandb
         self.run = wandb.init(project=project, config=config or {}, dir=save_dir)
+        # WandbMetricsDefiner equivalent (reference depth/callbacks.py:12-16):
+        # run summaries track best-so-far values of the key metrics
+        self.run.define_metric("metric_val/r2", summary="max")
+        self.run.define_metric("metric_val/mae", summary="min")
+        self.run.define_metric("metric_val/mse", summary="min")
+        self.run.define_metric("val_loss", summary="min")
 
     def log_scalars(self, step, scalars):
         self.run.log({k: float(v) for k, v in scalars.items()}, step=int(step))
