@@ -70,9 +70,12 @@ def double_conv_apply(
     mc_dropout: bool = False,
     groups: int = 1,
     compute_dtype=None,
+    input_prepadded: bool = False,
 ) -> Tuple[jax.Array, dict]:
+    """``input_prepadded``: x already carries the 1px reflect halo for the
+    first conv (emitted for free by the pad-emitting upsample)."""
     y = conv2d(x, params["conv1"], padding="REFLECT", groups=groups,
-               compute_dtype=compute_dtype)
+               compute_dtype=compute_dtype, prepadded=input_prepadded)
     y, bn1_s = batch_norm(y, params["bn1"], state["bn1"], train=train)
     y = jnp.maximum(y, 0)
     y = conv2d(y, params["conv2"], padding="REFLECT", groups=groups,
@@ -171,22 +174,41 @@ def up_apply(
     groups: int = 1,
     compute_dtype=None,
 ) -> Tuple[jax.Array, dict]:
-    """Upsample ``x1``, pad to ``x2``'s spatial size, concat [x2, x1], conv."""
-    if mode == UP_BILINEAR:
-        x1 = upsample_bilinear_x2_align_corners(x1)
-    elif mode == UP_UNPOOL:
-        h, w = x1.shape[-3] * 2, x1.shape[-2] * 2
-        x1 = max_unpool_2x2(x1, pooling_indices, h, w)
-    else:
-        x1 = conv_transpose2d(x1, params["up"], stride=2, groups=groups,
-                              compute_dtype=compute_dtype)
+    """Upsample ``x1``, pad to ``x2``'s spatial size, concat [x2, x1], conv.
 
-    x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
+    Fast path (bilinear, even sizes): the upsample matmul emits its output
+    already reflect-padded, the skip is padded once with the cheap
+    selection-matrix pad, and the first conv of the DoubleConv skips its
+    pad entirely.
+    """
+    prepadded = False
+    if (
+        mode == UP_BILINEAR
+        and 2 * x1.shape[-3] == x2.shape[-3]
+        and 2 * x1.shape[-2] == x2.shape[-2]
+    ):
+        from mimo_unet_tpu.ops.conv import reflect_pad1
+
+        x1 = upsample_bilinear_x2_align_corners(x1, pad_output=True)
+        x2 = reflect_pad1(x2)
+        prepadded = True
+    else:
+        if mode == UP_BILINEAR:
+            x1 = upsample_bilinear_x2_align_corners(x1)
+        elif mode == UP_UNPOOL:
+            h, w = x1.shape[-3] * 2, x1.shape[-2] * 2
+            x1 = max_unpool_2x2(x1, pooling_indices, h, w)
+        else:
+            x1 = conv_transpose2d(x1, params["up"], stride=2, groups=groups,
+                                  compute_dtype=compute_dtype)
+        x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
+
     x = jnp.concatenate([x2, x1], axis=-1)
     y, conv_state = double_conv_apply(
         params["conv"], state["conv"], x, train=train,
         dropout_rate=dropout_rate, dropout_key=dropout_key,
         mc_dropout=mc_dropout, groups=groups, compute_dtype=compute_dtype,
+        input_prepadded=prepadded,
     )
     return y, {"conv": conv_state}
 

@@ -14,15 +14,49 @@ bias) so parameter statistics are comparable with the reference.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 # NHWC activations, HWIO weights, NHWC outputs.
 _DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+@functools.lru_cache(maxsize=None)
+def _reflect_pad_matrix(w: int) -> np.ndarray:
+    """[W+2, W] 0/1 selection matrix implementing reflect pad of 1."""
+    m = np.zeros((w + 2, w), np.float32)
+    m[0, 1] = 1.0
+    m[np.arange(1, w + 1), np.arange(w)] = 1.0
+    m[w + 1, w - 2] = 1.0
+    return m
+
+
+def reflect_pad1(x: jax.Array) -> jax.Array:
+    """Reflect-pad H and W by 1 (NHWC, any leading dims), TPU-tuned.
+
+    ``jnp.pad(mode="reflect")`` on the width axis is a sublane-misaligned
+    relayout on TPU (~5x the copy cost) and dominated the conv stack at
+    high resolution.  Instead: H is padded with a major-dim concat (copy
+    speed) and W by contracting a [W+2, W] 0/1 selection matrix on the MXU
+    — ~2x faster end-to-end for the small-channel convolutions.  For wide
+    channels (>=128 lanes full) plain jnp.pad is at parity, so it is kept.
+
+    Exact: each output element is 1.0 * x (HIGHEST precision for f32).
+    """
+    x = jnp.concatenate([x[..., 1:2, :, :], x, x[..., -2:-1, :, :]], axis=-3)
+    c, w = x.shape[-1], x.shape[-2]
+    if c >= 128 or w < 2:
+        pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (0, 0)]
+        return jnp.pad(x, pad, mode="reflect")
+    mat = jnp.asarray(_reflect_pad_matrix(w)).astype(x.dtype)
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    return jnp.einsum("pw,...hwc->...hpc", mat, x, precision=precision)
 
 
 def conv2d_init(
@@ -58,11 +92,14 @@ def conv2d(
     padding: str | int = 0,
     groups: int = 1,
     compute_dtype: Optional[jnp.dtype] = None,
+    prepadded: bool = False,
 ) -> jax.Array:
     """NHWC conv. ``padding``: int (zero pad), "SAME", "VALID" or "REFLECT".
 
     "REFLECT" applies torch's ``padding_mode="reflect"`` with pad = (k-1)//2
-    (the DoubleConv 3x3 configuration) before a VALID conv.
+    (the DoubleConv 3x3 configuration) before a VALID conv; pass
+    ``prepadded=True`` when the caller already emitted a padded input
+    (e.g. the pad-emitting bilinear upsample) to skip the pad entirely.
 
     ``compute_dtype`` casts inputs and weights (e.g. to bfloat16) and the
     output *stays* in that dtype — the TPU mixed-precision recipe: bf16
@@ -75,8 +112,14 @@ def conv2d(
     kh, kw = w.shape[0], w.shape[1]
 
     if padding == "REFLECT":
-        ph, pw = (kh - 1) // 2, (kw - 1) // 2
-        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect")
+        if not prepadded:
+            ph, pw = (kh - 1) // 2, (kw - 1) // 2
+            if (ph, pw) == (1, 1):
+                x = reflect_pad1(x)
+            else:
+                x = jnp.pad(
+                    x, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect"
+                )
         pad_cfg = "VALID"
     elif isinstance(padding, int):
         pad_cfg = [(padding, padding), (padding, padding)]

@@ -1,0 +1,11 @@
+"""Pallas TPU kernels for the hot ops.
+
+Kernels here exist where XLA's default lowering leaves real performance on
+the table for this model family (small-channel convolutions at high
+resolution, where NHWC lane padding wastes most of the MXU and HBM
+bandwidth — see ops/pallas/conv_fused.py).
+"""
+
+from mimo_unet_tpu.ops.pallas.conv_fused import fused_conv3x3_cmajor
+
+__all__ = ["fused_conv3x3_cmajor"]

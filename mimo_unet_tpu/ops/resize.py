@@ -56,7 +56,16 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return mat
 
 
-def _upsample_hw_matmul(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def _reflect_extend(mat: np.ndarray) -> np.ndarray:
+    """Extend an interpolation matrix with reflect-pad rows: the padded
+    output's row -1 equals output row 1 and row H equals row H-2, so the
+    pad is two extra (copied) matrix rows — the pad becomes free."""
+    return np.concatenate([mat[1:2], mat, mat[-2:-1]], axis=0)
+
+
+def _upsample_hw_matmul(
+    x: jax.Array, out_h: int, out_w: int, pad_output: bool = False
+) -> jax.Array:
     """Bilinear align-corners resize as two MXU matmuls.
 
     TPU-critical: a take-based gather lowers to scalar dynamic-slices and
@@ -66,25 +75,43 @@ def _upsample_hw_matmul(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     matrix turns the resize into dense matmuls the MXU eats: ~10x faster
     than the gather at the U-Net's sizes despite the redundant zeros.
 
-    Exact in f32 (the extra terms are multiplications by 0.0); in bf16 the
-    weights quantize like every other bf16 matmul operand.
+    ``pad_output=True`` additionally emits the result reflect-padded by 1
+    on H and W (two extra rows per interpolation matrix) — the consumer's
+    reflect-pad conv then skips its pad entirely (see ops/conv.py
+    ``prepadded``).
+
+    Exact in f32 (HIGHEST matmul precision; extra terms multiply by 0.0);
+    in bf16 the weights quantize like every other bf16 matmul operand.
     """
     h, w = x.shape[-3], x.shape[-2]
-    wh = jnp.asarray(_interp_matrix(h, out_h)).astype(x.dtype)
-    ww = jnp.asarray(_interp_matrix(w, out_w)).astype(x.dtype)
-    y = jnp.einsum("oh,...hwc->...owc", wh, x)
-    return jnp.einsum("pw,...owc->...opc", ww, y)
+    mh = _interp_matrix(h, out_h)
+    mw = _interp_matrix(w, out_w)
+    if pad_output:
+        mh, mw = _reflect_extend(mh), _reflect_extend(mw)
+    wh = jnp.asarray(mh).astype(x.dtype)
+    ww = jnp.asarray(mw).astype(x.dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    y = jnp.einsum("oh,...hwc->...owc", wh, x, precision=precision)
+    return jnp.einsum("pw,...owc->...opc", ww, y, precision=precision)
 
 
-def upsample_bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+def upsample_bilinear_align_corners(
+    x: jax.Array, out_h: int, out_w: int, *, pad_output: bool = False
+) -> jax.Array:
     """NHWC bilinear resize with align_corners=True (torch semantics)."""
-    return _upsample_hw_matmul(x, out_h, out_w)
+    return _upsample_hw_matmul(x, out_h, out_w, pad_output=pad_output)
 
 
-def upsample_bilinear_x2_align_corners(x: jax.Array) -> jax.Array:
+def upsample_bilinear_x2_align_corners(
+    x: jax.Array, *, pad_output: bool = False
+) -> jax.Array:
     """NHWC x2 bilinear upsample, align_corners=True."""
     h, w = x.shape[-3], x.shape[-2]
-    return upsample_bilinear_align_corners(x, 2 * h, 2 * w)
+    return upsample_bilinear_align_corners(
+        x, 2 * h, 2 * w, pad_output=pad_output
+    )
 
 
 def pad_to_match(x: jax.Array, target_h: int, target_w: int) -> jax.Array:
