@@ -19,18 +19,44 @@ import jax.numpy as jnp
 from jax import lax
 
 
+@jax.custom_vjp
 def max_pool_2x2(x: jax.Array) -> jax.Array:
-    """NHWC 2x2/stride-2 max pool. Odd trailing row/col is dropped (torch floor)."""
+    """NHWC 2x2/stride-2 max pool. Odd trailing row/col is dropped (torch floor).
+
+    Custom VJP: the default ``reduce_window`` gradient lowers to TPU
+    select-and-scatter (slow); the backward here routes the cotangent with
+    one equality mask and a broadcast — pure VPU work.  Under exact ties
+    inside a window the gradient goes to every tied element (torch picks
+    one); ties are measure-zero for continuous activations.
+    """
+    return _max_pool_2x2_fwd_value(x)
+
+
+def _max_pool_2x2_fwd_value(x: jax.Array) -> jax.Array:
     b, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2, :]
-    return lax.reduce_window(
-        x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-        lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(xw, axis=(2, 4))
+
+
+def _max_pool_2x2_fwd(x):
+    y = _max_pool_2x2_fwd_value(x)
+    return y, (x, y)
+
+
+def _max_pool_2x2_bwd(res, g):
+    x, y = res
+    b, h, w, c = x.shape
+    he, we = h - h % 2, w - w % 2
+    xw = x[:, :he, :we, :].reshape(b, he // 2, 2, we // 2, 2, c)
+    mask = (xw == y[:, :, None, :, None, :]).astype(g.dtype)
+    gx = (mask * g[:, :, None, :, None, :]).reshape(b, he, we, c)
+    if (he, we) != (h, w):
+        gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    return (gx,)
+
+
+max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
 def _as_windows(x: jax.Array):
