@@ -33,10 +33,21 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
 
 
 def _max_pool_2x2_fwd_value(x: jax.Array) -> jax.Array:
+    # reduce_window for the forward: a reshape-based max would split the
+    # sublane (W) dimension — a measurable relayout at 256x256
     b, h, w, c = x.shape
     x = x[:, : h - h % 2, : w - w % 2, :]
-    xw = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.max(xw, axis=(2, 4))
+    init = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
+    return lax.reduce_window(
+        x, init, lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
 
 
 def _max_pool_2x2_fwd(x):
