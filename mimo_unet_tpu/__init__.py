@@ -28,3 +28,32 @@ Reference parity map (reference = antonbaumann/MIMO-Unet @ /root/reference):
 """
 
 __version__ = "0.1.0"
+
+# Public surface re-exports (import is cheap; heavy deps load lazily inside)
+from mimo_unet_tpu.losses import (  # noqa: E402
+    EvidentialLoss,
+    GaussianNLL,
+    LaplaceNLL,
+    UncertaintyLoss,
+)
+from mimo_unet_tpu.metrics import compute_regression_metrics  # noqa: E402
+from mimo_unet_tpu.models import (  # noqa: E402
+    MimoUNetConfig,
+    count_parameters,
+    mimo_unet_apply,
+    mimo_unet_init,
+)
+from mimo_unet_tpu.transforms import (  # noqa: E402
+    apply_input_transform,
+    compute_uncertainties,
+    flatten_subnetwork_dimension,
+    repeat_subnetworks,
+)
+
+__all__ = [
+    "UncertaintyLoss", "GaussianNLL", "LaplaceNLL", "EvidentialLoss",
+    "compute_regression_metrics",
+    "MimoUNetConfig", "mimo_unet_init", "mimo_unet_apply", "count_parameters",
+    "apply_input_transform", "repeat_subnetworks",
+    "flatten_subnetwork_dimension", "compute_uncertainties",
+]

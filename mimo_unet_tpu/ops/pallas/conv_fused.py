@@ -27,8 +27,8 @@ ANY/HBM memory space and the slab copy is a manual DMA.
 STATUS: numerically verified in interpret mode (tests/test_pallas.py); on
 the current axon single-chip testbed the manual halo DMA crashes the remote
 compile helper, so the kernel is NOT wired into the model path yet — the
-production fast path for these convs is the XLA channel-major layout (see
-ops/conv.py `layout=` and the measurements in its docstring).
+production path keeps XLA convs fed by the cheap selection-matrix reflect
+pad (ops/conv.py reflect_pad1; measurements in docs/PERFORMANCE.md).
 """
 
 from __future__ import annotations

@@ -66,6 +66,34 @@ class TestTrainEvalCLI:
         preds = np.load(os.path.join(result_dir, "test_0.0_y_preds.npy"))
         assert preds.shape == (4, 32, 32)
 
+        proc = run_script(
+            "scripts/test/measure_inference_speed.py",
+            "--model_checkpoint_paths", os.path.join(ckpt_dir, "last"),
+            "--in_channels", 3, "--height", 32, "--width", 32,
+            "--repetitions", 5,
+        )
+        assert "mean:" in proc.stdout and "per-exec" in proc.stdout
+
+    def test_evidential_train_then_eval_and_speed(self, tmp_path):
+        data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=8, h=32, w=32)
+        ckpt_dir = os.path.join(tmp_path, "ckpt")
+        os.makedirs(ckpt_dir)
+        run_script(
+            "scripts/train/train_nyuv2_depth_evidential.py",
+            "--checkpoint_path", ckpt_dir, "--dataset_dir", data_dir,
+            "--seed", 2, "--max_epochs", 1, "--batch_size", 4,
+            "--filter_base_count", 4, "--precision", "f32",
+            "--log_every_n_steps", 0,
+        )
+        result_dir = os.path.join(tmp_path, "results")
+        run_script(
+            "scripts/test/test_nyuv2_depth_evidential.py",
+            "--model_checkpoint_path", os.path.join(ckpt_dir, "last"),
+            "--result_dir", result_dir, "--dataset_dir", data_dir,
+            "--batch_size", 4,
+        )
+        assert os.path.exists(os.path.join(result_dir, "test_0.04_calibration.csv"))
+
     def test_ndvi_train_evidential(self, tmp_path):
         data_dir = make_sen12tp_tiles(os.path.join(tmp_path, "sen"), n_tiles=1,
                                       size=96, splits=("train", "val"))
