@@ -192,6 +192,33 @@ class TestMake3d:
         assert set(ds.keys) == {"image", "label"}
 
 
+class TestMake3dDataModule:
+    def test_setup_and_batches(self, tmp_path):
+        from mimo_unet_tpu.data.make3d import Make3dDepthDataModule
+
+        path = make_make3d(str(tmp_path), n=4, splits=("train", "test"))
+        dm = Make3dDepthDataModule(dataset_dir=path, batch_size=2, seed=0)
+        dm.setup()
+        assert len(dm.train_dataset()) == 4
+        assert len(dm.test_dataset()) == 4
+        batches = list(dm.train_batches(epoch=0))
+        assert len(batches) == 2
+        assert set(batches[0]) == {"image", "label", "mask"}
+
+
+class TestMUADDataModule:
+    def test_setup(self, tmp_path):
+        from mimo_unet_tpu.data.muad import MUADDepthDataModule
+
+        path = make_muad(str(tmp_path), n=4, size=24, splits=("train",))
+        dm = MUADDepthDataModule(dataset_dir=path, batch_size=2, seed=0)
+        dm.setup()
+        assert len(dm.train_dataset()) == 4
+        # no val/ dir -> val falls back to shuffled train
+        assert len(dm.val_dataset()) == 4
+        assert dm.test_dataset() is None
+
+
 class TestMUAD:
     def test_load_depth(self, tmp_path):
         import cv2
