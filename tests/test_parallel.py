@@ -62,6 +62,45 @@ class TestMesh:
         np.testing.assert_allclose(np.asarray(sharded[1]), np.asarray(local[1]), atol=1e-6)
 
 
+class TestSpatialPartitioning:
+    def test_forward_matches_unsharded(self, rng):
+        """2-D mesh (data x spatial): H-sharded forward == unsharded (XLA
+        SPMD inserts the conv/pool halo exchanges)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mimo_unet_tpu.parallel.mesh import image_sharding, make_mesh_2d
+        from mimo_unet_tpu.tasks import MimoUnetTask
+
+        task = MimoUnetTask(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=4, loss="laplace_nll", seed=0,
+        )
+        state = task.init_state(1)
+        mesh = make_mesh_2d(2, 4)
+        repl = NamedSharding(mesh, P())
+        xspec = image_sharding(mesh)
+
+        x = jnp.asarray(rng.uniform(size=(4, 2, 64, 64, 3)).astype(np.float32))
+        fwd = jax.jit(
+            lambda p, s, xx: task.forward(p, s, xx, train=False)[0],
+            in_shardings=(repl, repl, xspec),
+        )
+        p1, p2 = fwd(
+            jax.device_put(state.params, repl),
+            jax.device_put(state.model_state, repl),
+            jax.device_put(x, xspec),
+        )
+        (p1u, p2u), _ = task.forward(state.params, state.model_state, x, train=False)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p1u), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(p2), np.asarray(p2u), atol=1e-6)
+
+    def test_mesh_validation(self):
+        from mimo_unet_tpu.parallel.mesh import make_mesh_2d
+
+        with pytest.raises(ValueError, match="devices"):
+            make_mesh_2d(4, 4)  # 16 > 8 available
+
+
 class TestMultihost:
     def test_host_local_batch_slice_single_process(self):
         start, stop = host_local_batch_slice(32)
