@@ -94,6 +94,28 @@ class TestTrainEvalCLI:
         )
         assert os.path.exists(os.path.join(result_dir, "test_0.04_calibration.csv"))
 
+    def test_ndvi_train_mimo(self, tmp_path):
+        data_dir = make_sen12tp_tiles(os.path.join(tmp_path, "sen"), n_tiles=1,
+                                      size=96, splits=("train", "val"))
+        ckpt_dir = os.path.join(tmp_path, "ckpt")
+        os.makedirs(ckpt_dir)
+        run_script(
+            "scripts/train/train_ndvi.py",
+            "--checkpoint_path", ckpt_dir, "--dataset_dir", data_dir,
+            "--seed", 3, "--max_epochs", 1, "--batch_size", 2,
+            "--patch_size", "64", "--stride", "32",
+            "-i", "VV_sigma0", "-i", "VH_sigma0", "-t", "NDVI",
+            "--num_subnetworks", 2, "--filter_base_count", 4,
+            "--precision", "f32", "--log_every_n_steps", 1,
+        )
+        with open(os.path.join(ckpt_dir, "last", "hparams.json")) as f:
+            hp = json.load(f)
+        assert hp["task"] == "mimo_unet"
+        assert hp["in_channels"] == 2 and hp["out_channels"] == 2
+        # sen12tp-mode monitor images were written
+        img_dir = os.path.join(ckpt_dir, "images")
+        assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) > 0
+
     def test_ndvi_train_evidential(self, tmp_path):
         data_dir = make_sen12tp_tiles(os.path.join(tmp_path, "sen"), n_tiles=1,
                                       size=96, splits=("train", "val"))

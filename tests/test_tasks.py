@@ -149,6 +149,43 @@ class TestEvidentialTrainStep:
         assert outputs["aleatoric_std_map"].shape == (8, 32, 32, 1)
 
 
+class TestDeterminism:
+    def test_same_seed_same_trajectory(self, rng):
+        batch = synthetic_batch(rng)
+
+        def run(seed):
+            task = tiny_task(seed=seed, center_dropout_rate=0.1,
+                             final_dropout_rate=0.1)
+            tx = task.make_optimizer(10)
+            state = task.init_state(10)
+            losses = []
+            for _ in range(3):
+                state, logs, _ = task.train_step(
+                    tx, state, batch, jax.random.key(seed)
+                )
+                losses.append(float(logs["train_loss"]))
+            return losses
+
+        a, b, c = run(0), run(0), run(1)
+        np.testing.assert_array_equal(a, b)  # bitwise reproducible
+        assert a != c  # different seed diverges
+
+    def test_input_transform_keyed(self, rng):
+        """Same key -> same shuffle; step-folded keys differ across steps."""
+        task = tiny_task(batch_repetitions=2)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng)
+        s1, l1, _ = task.train_step(tx, state, batch, jax.random.key(5))
+        s2, l2, _ = task.train_step(tx, state, batch, jax.random.key(5))
+        np.testing.assert_array_equal(
+            float(l1["train_loss"]), float(l2["train_loss"])
+        )
+        # the next step folds in state.step -> different transform
+        s3, l3, _ = task.train_step(tx, s1, batch, jax.random.key(5))
+        assert float(l3["train_loss"]) != float(l1["train_loss"])
+
+
 class TestCheckpoint:
     def test_roundtrip_and_task_rebuild(self, rng, tmp_path):
         task = tiny_task(loss_buffer_size=3, filter_base_count=5)
