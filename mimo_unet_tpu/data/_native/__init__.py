@@ -18,7 +18,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "gather.cc")
-_LIB_PATH = os.path.join(_HERE, "_gather.so")
+# build/ is not a package: keeps pkgutil/import machinery from mistaking
+# the plain-C library for a CPython extension module
+_LIB_PATH = os.path.join(_HERE, "build", "libmimo_gather.so")
 
 _lock = threading.Lock()
 _lib = None
@@ -28,6 +30,7 @@ DEFAULT_THREADS = min(os.cpu_count() or 1, 16)
 
 
 def _build() -> Optional[str]:
+    os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
         "-o", _LIB_PATH, _SRC,
