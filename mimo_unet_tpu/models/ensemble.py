@@ -103,3 +103,36 @@ class Ensemble:
         if self.return_raw_predictions:
             return p1, p2
         return compute_uncertainties(self.loss_fn, p1, p2)
+
+    def predict(
+        self,
+        images,
+        batch_size: int = 32,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Serving convenience: run any number of images through the
+        ensemble in fixed-size batches (one compiled program; the final
+        partial batch is padded and trimmed).  Returns numpy
+        (mean, aleatoric_var, epistemic_var) stacked over all inputs."""
+        import numpy as np
+
+        if rng is None:
+            rng = jax.random.key(0)
+        images = np.asarray(images)
+        n = images.shape[0]
+        outs = []
+        for start in range(0, n, batch_size):
+            chunk = images[start : start + batch_size]
+            real = chunk.shape[0]
+            if real < batch_size:
+                pad = np.repeat(chunk[-1:], batch_size - real, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            p1, p2 = self.raw_forward(
+                jnp.asarray(chunk), jax.random.fold_in(rng, start)
+            )
+            mean, ale, epi = compute_uncertainties(self.loss_fn, p1, p2)
+            outs.append(
+                (np.asarray(mean)[:real], np.asarray(ale)[:real],
+                 np.asarray(epi)[:real])
+            )
+        return tuple(np.concatenate(parts, axis=0) for parts in zip(*outs))

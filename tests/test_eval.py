@@ -84,6 +84,16 @@ class TestEnsemble:
         # different MC passes give different predictions (dropout live)
         assert not np.allclose(np.asarray(p1[:, 0]), np.asarray(p1[:, 2]))
 
+    def test_predict_batched_with_padding(self, trained_ckpts, rng):
+        ens = Ensemble(trained_ckpts[:1])
+        images = rng.uniform(size=(7, 32, 32, 3)).astype(np.float32)
+        mean, ale, epi = ens.predict(images, batch_size=4)
+        assert mean.shape == (7, 32, 32, 1)
+        # padded-batch results equal an unbatched run
+        m2, a2, e2 = ens(jnp.asarray(images))
+        np.testing.assert_allclose(mean, np.asarray(m2), atol=1e-6)
+        np.testing.assert_allclose(ale, np.asarray(a2), atol=1e-6)
+
     def test_mismatched_loss_rejected(self, tmp_path, trained_ckpts):
         task = MimoUnetTask(
             in_channels=3, out_channels=2, num_subnetworks=1,
