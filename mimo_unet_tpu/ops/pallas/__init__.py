@@ -7,5 +7,6 @@ bandwidth — see ops/pallas/conv_fused.py).
 """
 
 from mimo_unet_tpu.ops.pallas.conv_fused import fused_conv3x3_cmajor
+from mimo_unet_tpu.ops.pallas.pad import reflect_pad_hw1, reflect_pad_w1
 
-__all__ = ["fused_conv3x3_cmajor"]
+__all__ = ["fused_conv3x3_cmajor", "reflect_pad_hw1", "reflect_pad_w1"]

@@ -13,6 +13,13 @@ sublane rotations are cheap: HBM traffic is exactly read-once/write-once.
 Layout contract: x [B, H, W, C] -> out [B, H, W+2, C] with
 out[..., 0, :] = x[..., 1, :] and out[..., W+1, :] = x[..., W-2, :]
 (torch reflect semantics for pad=1).
+
+STATUS: correct (interpret-verified) but measured SLOWER than the
+selection-matrix matmul pad on the axon testbed (sublane-shifted stores
+are expensive even inside VMEM: 46 ms vs ~5 ms for the einsum pad at
+[256, 258, 256, 63]).  The production pad is ops/conv.py::reflect_pad1;
+this kernel is kept as the documented alternative for hardware where
+Mosaic sublane stores are cheaper.  See docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations

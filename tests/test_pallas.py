@@ -8,6 +8,21 @@ import jax.numpy as jnp
 
 import mimo_unet_tpu.ops.conv as C
 from mimo_unet_tpu.ops.pallas.conv_fused import fused_conv3x3_cmajor
+from mimo_unet_tpu.ops.pallas.pad import reflect_pad_hw1, reflect_pad_w1
+
+
+class TestReflectPadKernel:
+    def test_matches_jnp_pad(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 12, 16, 5)).astype(np.float32))
+        want = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        got = reflect_pad_hw1(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_w_only(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 10, 3)).astype(np.float32))
+        want = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+        got = reflect_pad_w1(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 class TestFusedConv3x3:
