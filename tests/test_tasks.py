@@ -253,6 +253,40 @@ class TestTrainerEndToEnd:
         state2 = trainer2.fit(resume=True)
         assert int(state2.step) == 6
 
+    def test_fit_with_masked_dataset(self, tmp_path):
+        """Masks flow through prefetch -> train/val steps -> image monitor
+        (the Make3D/MUAD-style batch contract)."""
+        import jax.numpy as jnp
+        from mimo_unet_tpu.data.core import ArrayDataset, DataModule
+        from mimo_unet_tpu.train.trainer import Trainer
+
+        rng = np.random.default_rng(0)
+        image = rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)
+        label = image.mean(-1, keepdims=True).astype(np.float32)
+        mask = (rng.uniform(size=(8, 32, 32, 1)) > 0.3).astype(np.float32)
+        ds = ArrayDataset({"image": image, "label": label, "mask": mask})
+
+        class DM(DataModule):
+            batch_size = 4
+
+            def setup(self):
+                pass
+
+            def train_dataset(self):
+                return ds
+
+            def val_dataset(self):
+                return ds
+
+        trainer = Trainer(
+            tiny_task(), DM(), max_epochs=1,
+            checkpoint_path=os.path.join(tmp_path, "ckpt"),
+            log_every_n_steps=1, log_images=True, num_devices=4, seed=0,
+        )
+        state = trainer.fit()
+        assert int(state.step) == 2
+        assert np.isfinite(trainer.history[0]["val_loss"])
+
     def test_fit_sharded_over_mesh(self, tmp_path):
         """Data-parallel fit over all 8 virtual CPU devices."""
         from make_fixtures import make_nyuv2_h5
