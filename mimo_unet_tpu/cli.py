@@ -73,6 +73,9 @@ def add_trainer_args(parser: ArgumentParser, project: str, max_epochs: int = 100
                         help="Resume from the last checkpoint if present.")
     parser.add_argument("--use_wandb", action="store_true",
                         help="Log to wandb in addition to TSV (if installed).")
+    parser.add_argument("--use_tensorboard", action="store_true",
+                        help="Also write TensorBoard event files (the "
+                             "reference OutputMonitor's other sink).")
     parser.add_argument("--log_every_n_steps", type=int, default=200)
     return parser
 
@@ -129,7 +132,13 @@ def build_evidential_task(args: Namespace, in_channels: int, out_channels: int =
     )
 
 
-def run_training(args: Namespace, task, datamodule, monitor_mode: str = "depth"):
+def run_training(
+    args: Namespace,
+    task,
+    datamodule,
+    monitor_mode: str = "depth",
+    monitor_targets=None,
+):
     """Assemble logger + trainer and fit (the pl.Trainer(...)/fit spine,
     reference train_nyuv2_depth.py:65-82)."""
     import numpy as np
@@ -142,6 +151,7 @@ def run_training(args: Namespace, task, datamodule, monitor_mode: str = "depth")
         args.checkpoint_path,
         project=args.project,
         use_wandb=args.use_wandb,
+        use_tensorboard=getattr(args, "use_tensorboard", False),
         config=vars(args),
     )
     trainer = Trainer(
@@ -152,6 +162,7 @@ def run_training(args: Namespace, task, datamodule, monitor_mode: str = "depth")
         logger=logger,
         log_every_n_steps=args.log_every_n_steps,
         monitor_mode=monitor_mode,
+        monitor_targets=monitor_targets,
         num_devices=args.num_devices,
         seed=args.seed,
     )

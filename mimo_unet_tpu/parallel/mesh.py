@@ -56,13 +56,18 @@ def make_mesh_2d(
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def image_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for [B, S, H, W, C] (or [B, H, W, C]) activations on a 2-D
-    mesh: batch on 'data', image height on 'spatial'."""
+def image_sharding(mesh: Mesh, rank: int = 5) -> NamedSharding:
+    """Sharding for image activations on a 2-D mesh: batch on 'data', image
+    height on 'spatial'.  ``rank`` selects the layout — 5 for the MIMO
+    [B, S, H, W, C] tensors (H is axis 2), 4 for plain [B, H, W, C]
+    (H is axis 1).  Passing the wrong rank would silently shard W instead
+    of H, so the rank is explicit."""
+    if rank not in (4, 5):
+        raise ValueError(f"image_sharding supports rank 4 or 5, got {rank}")
     if SPATIAL_AXIS not in mesh.axis_names:
         return NamedSharding(mesh, P(DATA_AXIS))
-    # H is axis 2 for [B, S, H, W, C]; PartitionSpec prefixes are fine for
-    # rank-4 [B, H, W, C] callers via P(DATA_AXIS, SPATIAL_AXIS).
+    if rank == 4:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS, None, SPATIAL_AXIS))
 
 

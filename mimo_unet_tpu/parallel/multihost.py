@@ -53,7 +53,8 @@ def host_local_batch_slice(global_batch: int) -> Tuple[int, int]:
     n_proc = jax.process_count()
     if global_batch % n_proc:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {n_proc}"
+            f"global batch {global_batch} must be divisible by the process "
+            f"count {n_proc}"
         )
     per = global_batch // n_proc
     start = jax.process_index() * per

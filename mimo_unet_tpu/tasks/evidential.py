@@ -180,6 +180,13 @@ class EvidentialUnetTask:
         image, label = batch["image"], batch["label"]
         mask = batch.get("mask")
         mask_sq = jnp.squeeze(mask, axis=-1) if mask is not None else None
+        valid = batch.get("valid")  # [B] 0/1: pad rows get weight 0 (see mimo.py)
+
+        def wmean(x):
+            if valid is None:
+                return jnp.mean(x)
+            w = valid.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.sum(x * w) / (jnp.sum(valid) * (x.size // x.shape[0]))
 
         out, _ = self.forward(params, model_state, image, train=False)
         loss = loss_fn(out, label, mask=mask_sq, reduce_mean=False)
@@ -188,12 +195,17 @@ class EvidentialUnetTask:
         aleatoric_std = jnp.sqrt(loss_fn.aleatoric_var(out))[..., None]
         epistemic_std = jnp.sqrt(loss_fn.epistemic_var(out))[..., None]
 
+        row_w = None if valid is None else valid.reshape(
+            (-1,) + (1,) * (label.ndim - 1)
+        )
         logs = {
-            "val_loss": jnp.mean(loss),
-            "metric_val/aleatoric_std_mean": jnp.mean(jnp.clip(aleatoric_std, 0, 5)),
-            "metric_val/epistemic_std_mean": jnp.mean(jnp.clip(epistemic_std, 0, 5)),
+            "val_loss": wmean(loss),
+            "metric_val/aleatoric_std_mean": wmean(jnp.clip(aleatoric_std, 0, 5)),
+            "metric_val/epistemic_std_mean": wmean(jnp.clip(epistemic_std, 0, 5)),
         }
-        for name, value in compute_regression_metrics(y_pred, label).items():
+        for name, value in compute_regression_metrics(
+            y_pred, label, weights=row_w
+        ).items():
             logs[f"metric_val/{name}"] = value
 
         outputs = {

@@ -252,7 +252,13 @@ class MimoUnetTask:
         model_state: dict,
         batch: Dict[str, jax.Array],
     ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
-        """Validation step (no state mutation).  Returns (logs, outputs)."""
+        """Validation step (no state mutation).  Returns (logs, outputs).
+
+        ``batch`` may carry ``valid`` [B] (0/1): rows padded on so the batch
+        divides the device mesh get weight 0 in every logged statistic (the
+        reference never pads — Lightning weights ``self.log`` by true batch
+        size, mimo/models/mimo_unet.py:283-291 — so padding must be a no-op).
+        """
         loss_fn = self.loss_fn
         image = repeat_subnetworks(batch["image"], self.num_subnetworks)
         label = repeat_subnetworks(batch["label"], self.num_subnetworks)
@@ -260,12 +266,26 @@ class MimoUnetTask:
         mask_t = (
             repeat_subnetworks(mask, self.num_subnetworks) if mask is not None else None
         )
+        valid = batch.get("valid")  # [B] 0/1 row validity
+
+        def wmean(x):
+            """Scalar mean of ``x`` over valid batch rows only."""
+            if valid is None:
+                return jnp.mean(x)
+            w = valid.astype(x.dtype).reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.sum(x * w) / (jnp.sum(valid) * (x.size // x.shape[0]))
 
         (p1, p2), _ = self.forward(params, model_state, image, train=False)
 
-        val_loss = jnp.mean(
-            loss_fn(p1, p2, label, mask=mask_t, reduce_mean=False), axis=(0, 2, 3, 4)
-        )
+        per_px = loss_fn(p1, p2, label, mask=mask_t, reduce_mean=False)
+        if valid is None:
+            val_loss = jnp.mean(per_px, axis=(0, 2, 3, 4))
+        else:
+            w = valid.astype(per_px.dtype)[:, None, None, None, None]
+            n_elem = per_px.shape[2] * per_px.shape[3] * per_px.shape[4]
+            val_loss = jnp.sum(per_px * w, axis=(0, 2, 3, 4)) / (
+                jnp.sum(valid) * n_elem
+            )
 
         y_pred_mean, aleatoric_var, epistemic_var = compute_uncertainties(
             loss_fn, p1, p2
@@ -278,20 +298,27 @@ class MimoUnetTask:
         epistemic_std = jnp.sqrt(epistemic_var)
 
         combined_log_param = loss_fn.calculate_dist_param(std=combined_std, log=True)
-        val_loss_combined = loss_fn(
-            jnp.mean(p1, axis=1), combined_log_param, y_mean, mask=mask,
-            reduce_mean=True,
+        val_loss_combined = wmean(
+            loss_fn(
+                jnp.mean(p1, axis=1), combined_log_param, y_mean, mask=mask,
+                reduce_mean=False,
+            )
         )
 
+        row_w = None if valid is None else valid.reshape(
+            (-1,) + (1,) * (y_mean.ndim - 1)
+        )
         logs = {
             "val_loss": jnp.mean(val_loss),
             "val_loss_combined": val_loss_combined,
-            "metric_val/aleatoric_std_mean": jnp.mean(jnp.clip(aleatoric_std, 0, 5)),
-            "metric_val/epistemic_std_mean": jnp.mean(jnp.clip(epistemic_std, 0, 5)),
+            "metric_val/aleatoric_std_mean": wmean(jnp.clip(aleatoric_std, 0, 5)),
+            "metric_val/epistemic_std_mean": wmean(jnp.clip(epistemic_std, 0, 5)),
         }
         for i in range(self.num_subnetworks):
             logs[f"val_loss_{i}"] = val_loss[i]
-        for name, value in compute_regression_metrics(y_pred_mean, y_mean).items():
+        for name, value in compute_regression_metrics(
+            y_pred_mean, y_mean, weights=row_w
+        ).items():
             logs[f"metric_val/{name}"] = value
 
         outputs = {

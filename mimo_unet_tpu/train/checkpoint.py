@@ -133,5 +133,18 @@ class CheckpointManager:
             return True
         return False
 
+    def restore_best_tracking(self) -> float:
+        """Reload best_val_loss from best/hparams.json (written by
+        maybe_save_best) so resumed runs never regress best/.  Called by the
+        trainer on resume only — a fresh fit into a reused directory starts
+        tracking from scratch, like a new Lightning ModelCheckpoint."""
+        hp_path = os.path.join(self.best_path, HPARAMS_FILE)
+        if os.path.isfile(hp_path):
+            with open(hp_path) as f:
+                best = json.load(f).get("best", {})
+            if "val_loss" in best:
+                self.best_val_loss = float(best["val_loss"])
+        return self.best_val_loss
+
     def has_last(self) -> bool:
         return os.path.isdir(os.path.join(self.last_path, STATE_DIR))

@@ -25,6 +25,10 @@ class MetricLogger:
     def log_image(self, step: int, name: str, image: np.ndarray) -> None:
         raise NotImplementedError
 
+    def log_checkpoint(self, path: str) -> None:
+        """Archive a checkpoint directory (wandb log_model parity,
+        reference train_nyuv2_depth.py:67-68).  Default: no-op."""
+
     def finish(self) -> None:
         pass
 
@@ -81,8 +85,45 @@ class WandbLogger(MetricLogger):
     def log_image(self, step, name, image):
         self.run.log({name: self._wandb.Image(image)}, step=int(step))
 
+    def log_checkpoint(self, path):
+        """Upload a checkpoint directory as a wandb model artifact — the
+        reference's WandbLogger(log_model=True) behavior
+        (train_nyuv2_depth.py:67-68)."""
+        try:
+            art = self._wandb.Artifact(f"model-{self.run.id}", type="model")
+            art.add_dir(path)
+            self.run.log_artifact(art)
+        except Exception as e:
+            print(f"[logging] wandb checkpoint upload failed: {e}")
+
     def finish(self):
         self.run.finish()
+
+
+class TensorBoardLogger(MetricLogger):
+    """TensorBoard event-file sink — the reference OutputMonitor's alternate
+    logger (reference mimo/tasks/depth/callbacks.py:42-48 logs to wandb *or*
+    a Lightning TensorBoardLogger).  Scalars via add_scalar, image grids via
+    add_image(dataformats="HWC"), matching the reference call shape."""
+
+    def __init__(self, root: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError:  # pragma: no cover - torch tb always in CI image
+            from tensorboardX import SummaryWriter
+        self.writer = SummaryWriter(log_dir=os.path.join(root, "tensorboard"))
+
+    def log_scalars(self, step, scalars):
+        for k, v in scalars.items():
+            self.writer.add_scalar(k, float(v), global_step=int(step))
+
+    def log_image(self, step, name, image):
+        self.writer.add_image(
+            name, np.asarray(image), global_step=int(step), dataformats="HWC"
+        )
+
+    def finish(self):
+        self.writer.close()
 
 
 class MultiLogger(MetricLogger):
@@ -97,12 +138,17 @@ class MultiLogger(MetricLogger):
         for l in self.loggers:
             l.log_image(step, name, image)
 
+    def log_checkpoint(self, path):
+        for l in self.loggers:
+            l.log_checkpoint(path)
+
     def finish(self):
         for l in self.loggers:
             l.finish()
 
 
 def make_logger(root: str, project: Optional[str] = None, use_wandb: bool = False,
+                use_tensorboard: bool = False,
                 config: Optional[dict] = None) -> MetricLogger:
     loggers = [TSVLogger(root)]
     if use_wandb:
@@ -110,4 +156,9 @@ def make_logger(root: str, project: Optional[str] = None, use_wandb: bool = Fals
             loggers.append(WandbLogger(project or "mimo-tpu", config, root))
         except Exception as e:  # wandb missing or offline
             print(f"[logging] wandb unavailable ({e}); falling back to TSV only")
+    if use_tensorboard:
+        try:
+            loggers.append(TensorBoardLogger(root))
+        except Exception as e:
+            print(f"[logging] tensorboard unavailable ({e}); skipping")
     return MultiLogger(*loggers)

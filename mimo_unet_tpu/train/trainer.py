@@ -42,6 +42,7 @@ class Trainer:
         logger: Optional[MetricLogger] = None,
         log_every_n_steps: int = 200,
         monitor_mode: str = "depth",
+        monitor_targets=None,
         log_images: bool = True,
         mesh=None,
         num_devices: Optional[int] = None,
@@ -52,12 +53,14 @@ class Trainer:
         self.max_epochs = max_epochs
         self.log_every_n_steps = log_every_n_steps
         self.monitor_mode = monitor_mode
+        self.monitor_targets = monitor_targets
         self.log_images = log_images
         self.seed = seed
         self.mesh = mesh if mesh is not None else make_mesh(num_devices)
         self.logger = logger if logger is not None else TSVLogger(checkpoint_path)
         self.ckpt = CheckpointManager(checkpoint_path, task.hparams())
         self.history: list = []
+        self._timing_warm = False  # first step of the process pays compile
 
     # ------------------------------------------------------------------ fit
 
@@ -80,6 +83,10 @@ class Trainer:
 
             _, state = load_checkpoint(self.ckpt.last_path, steps_per_epoch)
             start_epoch = int(state.step) // steps_per_epoch
+            # restore best-val tracking so a post-resume epoch with a worse
+            # val_loss never overwrites best/ (the reference's ModelCheckpoint
+            # keeps this in its own state, train_nyuv2_depth.py:22-36)
+            self.ckpt.restore_best_tracking()
             print(f"[trainer] resumed from step {int(state.step)} (epoch {start_epoch})")
         else:
             state = task.init_state(steps_per_epoch)
@@ -129,6 +136,15 @@ class Trainer:
                 else:
                     state, logs, _ = train_step(state, batch, rng)
                 images_seen += len(next(iter(batch.values())))
+                if not self._timing_warm:
+                    # the first step of the process includes XLA compilation;
+                    # restart the epoch clock so throughput reflects steady
+                    # state (the compile still happened, just isn't averaged
+                    # into throughput_images_per_sec)
+                    jax.block_until_ready(logs)
+                    self._timing_warm = True
+                    t_epoch = time.time()
+                    images_seen = 0
                 if self.log_every_n_steps > 0 and global_step % self.log_every_n_steps == 0:
                     # fetch the *previous* pending logs so we never sync on
                     # the step we just dispatched
@@ -165,6 +181,10 @@ class Trainer:
                 self.ckpt.maybe_save_best(
                     state, val_logs["val_loss"], epoch, global_step
                 )
+        # wandb log_model parity (reference train_nyuv2_depth.py:67-68):
+        # sinks that archive checkpoints get the final one
+        if hasattr(self.logger, "log_checkpoint"):
+            self.logger.log_checkpoint(self.ckpt.last_path)
         return state
 
     # ------------------------------------------------------------ validation
@@ -174,8 +194,12 @@ class Trainer:
         count = 0
         first_outputs = None
         for batch in self.dm.val_batches():
-            batch, real = pad_batch_to_divisible(batch, n_dev)
             batch = {k: v for k, v in batch.items() if v is not None}
+            batch, real = pad_batch_to_divisible(batch, n_dev)
+            b = len(next(iter(batch.values())))
+            if real != b:
+                # 0/1 row validity: pad rows must not enter any logged mean
+                batch["valid"] = (np.arange(b) < real).astype(np.float32)
             logs, outputs = val_step(state.params, state.model_state, batch)
             if first_outputs is None:
                 first_outputs = outputs
@@ -202,7 +226,10 @@ class Trainer:
                 k: (np.asarray(v) if v is not None else None)
                 for k, v in outputs.items()
             }
-            for name, img in output_monitor_images(host, self.monitor_mode).items():
+            images = output_monitor_images(
+                host, self.monitor_mode, target_names=self.monitor_targets
+            )
+            for name, img in images.items():
                 self.logger.log_image(step, f"{stage}/{name}", img)
         except Exception as e:
             print(f"[trainer] image logging failed: {e}")

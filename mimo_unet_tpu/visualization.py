@@ -66,13 +66,21 @@ def colorize_grid(
     return make_grid(colored)
 
 
-def output_monitor_images(outputs: dict, mode: str = "depth", max_items: int = 8) -> dict:
+def output_monitor_images(
+    outputs: dict,
+    mode: str = "depth",
+    max_items: int = 8,
+    target_names=None,
+) -> dict:
     """Build the reference OutputMonitor image set from a step's outputs.
 
     Depth flavor (depth/callbacks.py:59-87): pred/true in "turbo" [0,1],
     |error| in "Reds" [0,2], aleatoric/epistemic std in "Reds" [0,1].
-    SEN12TP flavor (sen12tp/callbacks.py:59-71): pred/true "Greens",
-    error "seismic" symmetric [-2, 2].
+    SEN12TP flavor (sen12tp/callbacks.py:32-71): one image set *per target
+    channel*, names templated on the vegetation index ("{veg_index}_predicted"
+    etc.), pred/true "Greens", error "seismic" symmetric [-2, 2].  Pass
+    ``target_names`` (the datamodule's model_targets) for multi-target runs;
+    unnamed channels fall back to "target{i}".
     """
     import numpy as np
 
@@ -86,22 +94,49 @@ def output_monitor_images(outputs: dict, mode: str = "depth", max_items: int = 8
     if mask is not None:
         m = np_(mask)
         preds, label, err = preds * m, label * m, err * m
+    ale = outputs.get("aleatoric_std_map")
+    epi = outputs.get("epistemic_std_map")
 
     images = {}
     if mode == "sen12tp":
-        images["pred"] = colorize_grid(preds, 0, 1, "Greens", max_items)
-        images["true"] = colorize_grid(label, 0, 1, "Greens", max_items)
-        images["error"] = colorize_grid(err, -2, 2, "seismic", max_items)
-    else:
-        images["pred"] = colorize_grid(preds, 0, 1, "turbo", max_items)
-        images["true"] = colorize_grid(label, 0, 1, "turbo", max_items)
-        images["error"] = colorize_grid(np.abs(err), 0, 2, "Reds", max_items)
-    if "aleatoric_std_map" in outputs and outputs["aleatoric_std_map"] is not None:
-        images["aleatoric_std"] = colorize_grid(
-            np_(outputs["aleatoric_std_map"]), 0, 1, "Reds", max_items
-        )
-    if "epistemic_std_map" in outputs and outputs["epistemic_std_map"] is not None:
-        images["epistemic_std"] = colorize_grid(
-            np_(outputs["epistemic_std_map"]), 0, 1, "Reds", max_items
-        )
+        # per-target loop, reference sen12tp/callbacks.py:32-48
+        n_targets = preds.shape[-1]
+        if target_names is None:
+            target_names = (
+                [""] if n_targets == 1 else [f"target{i}" for i in range(n_targets)]
+            )
+        if len(target_names) != n_targets:
+            raise ValueError(
+                f"target_names has {len(target_names)} entries but outputs "
+                f"carry {n_targets} channels"
+            )
+        for idx, veg_index in enumerate(target_names):
+            prefix = f"{veg_index}_" if veg_index else ""
+            sl = slice(idx, idx + 1)
+            images[f"{prefix}predicted"] = colorize_grid(
+                preds[..., sl], 0, 1, "Greens", max_items
+            )
+            images[f"{prefix}true"] = colorize_grid(
+                label[..., sl], 0, 1, "Greens", max_items
+            )
+            images[f"{prefix}error"] = colorize_grid(
+                err[..., sl], -2, 2, "seismic", max_items
+            )
+            if ale is not None:
+                images[f"{prefix}aleatoric_std"] = colorize_grid(
+                    np_(ale)[..., sl], 0, 1, "Reds", max_items
+                )
+            if epi is not None:
+                images[f"{prefix}epistemic_std"] = colorize_grid(
+                    np_(epi)[..., sl], 0, 1, "Reds", max_items
+                )
+        return images
+
+    images["pred"] = colorize_grid(preds, 0, 1, "turbo", max_items)
+    images["true"] = colorize_grid(label, 0, 1, "turbo", max_items)
+    images["error"] = colorize_grid(np.abs(err), 0, 2, "Reds", max_items)
+    if ale is not None:
+        images["aleatoric_std"] = colorize_grid(np_(ale), 0, 1, "Reds", max_items)
+    if epi is not None:
+        images["epistemic_std"] = colorize_grid(np_(epi), 0, 1, "Reds", max_items)
     return images

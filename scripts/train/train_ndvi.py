@@ -31,7 +31,9 @@ def main(args):
         in_channels=len(dm.model_inputs),
         out_channels=len(dm.model_targets) * args.num_loss_function_params,
     )
-    run_training(args, task, dm, monitor_mode="sen12tp")
+    run_training(
+        args, task, dm, monitor_mode="sen12tp", monitor_targets=dm.model_targets
+    )
 
 
 if __name__ == "__main__":

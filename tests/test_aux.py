@@ -73,8 +73,67 @@ class TestVisualization:
             "epistemic_std_map": rng.uniform(size=(4, 8, 8, 1)).astype(np.float32),
             "mask": None,
         }
-        for mode in ("depth", "sen12tp"):
-            images = output_monitor_images(outputs, mode)
-            assert set(images) == {"pred", "true", "error", "aleatoric_std", "epistemic_std"}
-            for img in images.values():
-                assert img.dtype == np.uint8 and img.ndim == 3
+        images = output_monitor_images(outputs, "depth")
+        assert set(images) == {"pred", "true", "error", "aleatoric_std", "epistemic_std"}
+        for img in images.values():
+            assert img.dtype == np.uint8 and img.ndim == 3
+        # sen12tp single-target without names: same set, reference-style names
+        images = output_monitor_images(outputs, "sen12tp")
+        assert set(images) == {
+            "predicted", "true", "error", "aleatoric_std", "epistemic_std"
+        }
+
+    def test_output_monitor_images_per_target(self, rng):
+        """Multi-target SEN12TP runs log one image set per vegetation index
+        (reference mimo/tasks/sen12tp/callbacks.py:32-48)."""
+        outputs = {
+            "preds": rng.uniform(size=(4, 8, 8, 2)).astype(np.float32),
+            "label": rng.uniform(size=(4, 8, 8, 2)).astype(np.float32),
+            "err_map": rng.standard_normal((4, 8, 8, 2)).astype(np.float32),
+            "aleatoric_std_map": rng.uniform(size=(4, 8, 8, 2)).astype(np.float32),
+            "epistemic_std_map": rng.uniform(size=(4, 8, 8, 2)).astype(np.float32),
+            "mask": None,
+        }
+        images = output_monitor_images(
+            outputs, "sen12tp", target_names=["NDVI", "EVI"]
+        )
+        expected = {
+            f"{t}_{kind}"
+            for t in ("NDVI", "EVI")
+            for kind in ("predicted", "true", "error", "aleatoric_std",
+                         "epistemic_std")
+        }
+        assert set(images) == expected
+        for img in images.values():
+            assert img.dtype == np.uint8 and img.ndim == 3
+        # the per-target slices differ (channel 0 is not silently reused)
+        assert not np.array_equal(images["NDVI_predicted"], images["EVI_predicted"])
+        # unnamed multi-target falls back to target{i}
+        fallback = output_monitor_images(outputs, "sen12tp")
+        assert "target0_predicted" in fallback and "target1_true" in fallback
+        with pytest.raises(ValueError, match="target_names"):
+            output_monitor_images(outputs, "sen12tp", target_names=["NDVI"])
+
+
+class TestLoggers:
+    def test_tensorboard_logger_writes_events(self, tmp_path):
+        """--use_tensorboard parity: the reference OutputMonitor logs to
+        wandb *or* TensorBoard (mimo/tasks/depth/callbacks.py:42-48)."""
+        import os
+
+        pytest.importorskip("tensorboardX")
+        from mimo_unet_tpu.train.logging import TensorBoardLogger, make_logger
+
+        lg = TensorBoardLogger(str(tmp_path))
+        lg.log_scalars(1, {"val_loss": 0.5, "metric_val/r2": 0.9})
+        lg.log_image(1, "train/pred", np.zeros((4, 4, 3), np.uint8))
+        lg.finish()
+        tb_dir = os.path.join(tmp_path, "tensorboard")
+        events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+        assert events, os.listdir(tb_dir)
+        assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
+
+        multi = make_logger(str(tmp_path), use_tensorboard=True)
+        kinds = {type(l).__name__ for l in multi.loggers}
+        assert "TensorBoardLogger" in kinds and "TSVLogger" in kinds
+        multi.finish()

@@ -1,5 +1,7 @@
 """Mesh/sharding and multi-host helper tests (8-device CPU mesh)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,98 @@ class TestMultihost:
     def test_host_local_batch_slice_single_process(self):
         start, stop = host_local_batch_slice(32)
         assert (start, stop) == (0, 32)  # single process owns everything
+
+    def test_divisibility_error_message(self, monkeypatch):
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        with pytest.raises(ValueError, match="divisible by the process count"):
+            host_local_batch_slice(6)
+
+    def test_two_process_distributed_smoke(self, tmp_path):
+        """Process-spanning mesh init: 2 subprocesses x 2 virtual CPU devices
+        each join one jax.distributed cluster, build the canonical 4-device
+        mesh, feed per-host batch shards, and reduce across processes (the
+        real DCN data-parallel code path, on Gloo CPU collectives)."""
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker = os.path.join(tmp_path, "worker.py")
+        with open(worker, "w") as f:
+            f.write(textwrap.dedent('''
+                import os, sys
+                proc_id, coord, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+                os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+                os.environ["JAX_PLATFORMS"] = "cpu"
+                sys.path.insert(0, repo)
+                import jax
+                from mimo_unet_tpu.parallel.multihost import (
+                    host_local_batch_slice, initialize_multihost,
+                )
+                initialize_multihost(
+                    coordinator_address=coord, num_processes=2, process_id=proc_id
+                )
+                import numpy as np
+                import jax.numpy as jnp
+                from mimo_unet_tpu.parallel.mesh import batch_sharding, make_mesh
+
+                assert jax.process_count() == 2, jax.process_count()
+                mesh = make_mesh()
+                assert mesh.size == 4, mesh.size
+                start, stop = host_local_batch_slice(8)
+                assert (start, stop) == (proc_id * 4, proc_id * 4 + 4)
+
+                sharding = batch_sharding(mesh)
+                local = np.arange(start * 2, stop * 2, dtype=np.float32).reshape(4, 2)
+                garr = jax.make_array_from_process_local_data(sharding, local, (8, 2))
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                total = jax.jit(
+                    lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P())
+                )(garr)
+                assert float(total) == float(np.arange(16).sum()), float(total)
+                print(f"proc{proc_id} ok")
+            '''))
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS",
+                            "JAX_COMPILATION_CACHE_DIR")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), f"localhost:{port}", repo],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=180)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+        assert "proc0 ok" in outs[0] and "proc1 ok" in outs[1]
+
+
+class TestImageShardingRanks:
+    def test_rank5_shards_h_axis2(self):
+        from mimo_unet_tpu.parallel.mesh import image_sharding, make_mesh_2d
+
+        mesh = make_mesh_2d(2, 4)
+        spec = image_sharding(mesh, rank=5).spec
+        assert spec == jax.sharding.PartitionSpec("data", None, "spatial")
+
+    def test_rank4_shards_h_axis1(self, rng):
+        """[B,H,W,C] must shard H (axis 1), not W — the round-1 footgun."""
+        from mimo_unet_tpu.parallel.mesh import image_sharding, make_mesh_2d
+
+        mesh = make_mesh_2d(2, 4)
+        spec4 = image_sharding(mesh, rank=4).spec
+        assert spec4 == jax.sharding.PartitionSpec("data", "spatial")
+        x = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+        arr = jax.device_put(x, image_sharding(mesh, rank=4))
+        shard_shape = arr.addressable_shards[0].data.shape
+        assert shard_shape == (1, 2, 8, 3)  # H split by 4, W intact
+        with pytest.raises(ValueError, match="rank"):
+            image_sharding(mesh, rank=3)

@@ -310,3 +310,137 @@ class TestTrainerEndToEnd:
         state = trainer.fit()
         assert int(state.step) == 2
         assert np.isfinite(trainer.history[0]["val_loss"])
+
+
+class TestValPaddingInvariance:
+    """Pad rows (added so the batch divides the mesh) must not contaminate
+    validation means — Lightning weights self.log by true batch size
+    (reference mimo/models/mimo_unet.py:283-291), so padding must be a no-op."""
+
+    def test_val_step_valid_mask_mimo(self, rng):
+        task = tiny_task()
+        state = task.init_state(10)
+        batch = synthetic_batch(rng, b=5)
+        logs_ref, _ = task.val_step(state.params, state.model_state, batch)
+
+        padded = {
+            k: jnp.concatenate([v, jnp.repeat(v[-1:], 3, axis=0)], axis=0)
+            for k, v in batch.items()
+        }
+        padded["valid"] = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+        logs_pad, _ = task.val_step(state.params, state.model_state, padded)
+        for k in logs_ref:
+            np.testing.assert_allclose(
+                float(logs_pad[k]), float(logs_ref[k]), rtol=2e-5, err_msg=k
+            )
+        # sanity: without the valid mask the pad rows DO shift the stats
+        del padded["valid"]
+        logs_dirty, _ = task.val_step(state.params, state.model_state, padded)
+        assert abs(float(logs_dirty["metric_val/r2"]) - float(logs_ref["metric_val/r2"])) > 1e-7
+
+    def test_val_step_valid_mask_evidential(self, rng):
+        task = EvidentialUnetTask(in_channels=3, filter_base_count=4, seed=0)
+        state = task.init_state(10)
+        batch = synthetic_batch(rng, b=5)
+        logs_ref, _ = task.val_step(state.params, state.model_state, batch)
+        padded = {
+            k: jnp.concatenate([v, jnp.repeat(v[-1:], 3, axis=0)], axis=0)
+            for k, v in batch.items()
+        }
+        padded["valid"] = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+        logs_pad, _ = task.val_step(state.params, state.model_state, padded)
+        for k in logs_ref:
+            np.testing.assert_allclose(
+                float(logs_pad[k]), float(logs_ref[k]), rtol=2e-5, err_msg=k
+            )
+
+    def test_trainer_validate_pad_invariant(self, tmp_path, rng):
+        """Epoch val metrics identical whether or not the final batch needs
+        mesh padding (ndev=2 pads the odd tail batch; ndev=1 doesn't)."""
+        from mimo_unet_tpu.data.core import ArrayDataset, DataModule
+        from mimo_unet_tpu.train.trainer import Trainer
+
+        image = rng.uniform(size=(5, 32, 32, 3)).astype(np.float32)
+        label = image.mean(-1, keepdims=True).astype(np.float32)
+        ds = ArrayDataset({"image": image, "label": label})
+
+        class DM(DataModule):
+            batch_size = 4
+
+            def setup(self):
+                pass
+
+            def train_dataset(self):
+                return ds
+
+            def val_dataset(self):
+                return ds
+
+        task = tiny_task()
+        state = task.init_state(1)
+
+        def epoch_metrics(n_dev):
+            trainer = Trainer(
+                task, DM(), max_epochs=1,
+                checkpoint_path=os.path.join(tmp_path, f"ckpt{n_dev}"),
+                log_images=False, num_devices=n_dev, seed=0,
+            )
+            val_step = jax.jit(task.val_step)
+            return trainer.validate(state, val_step, n_dev)
+
+        a, b = epoch_metrics(1), epoch_metrics(2)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-5, err_msg=k)
+
+
+class TestResumeSemantics:
+    def test_best_tracking_restored_on_resume(self, tmp_path, rng):
+        from mimo_unet_tpu.train.checkpoint import CheckpointManager, load_hparams
+
+        task = tiny_task()
+        state = task.init_state(1)
+
+        mgr = CheckpointManager(str(tmp_path), task.hparams())
+        assert mgr.maybe_save_best(state, 0.5, epoch=0, step=1)
+        assert not mgr.maybe_save_best(state, 0.7, epoch=1, step=2)
+
+        # a resumed manager must pick up 0.5, not reset to inf
+        mgr2 = CheckpointManager(str(tmp_path), task.hparams())
+        assert mgr2.best_val_loss == float("inf")  # fresh by default
+        assert mgr2.restore_best_tracking() == 0.5
+        assert not mgr2.maybe_save_best(state, 0.7, epoch=2, step=3)
+        assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.5
+        assert mgr2.maybe_save_best(state, 0.3, epoch=3, step=4)
+        assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.3
+
+    def test_fit_resume_equivalence(self, tmp_path):
+        """fit(2 epochs) == fit(1) + resume(1): identical params, and best/
+        never regresses across the resume boundary."""
+        from make_fixtures import make_nyuv2_h5
+        from mimo_unet_tpu.data.nyuv2 import NYUv2DepthDataModule
+        from mimo_unet_tpu.train.trainer import Trainer
+
+        data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=8, h=32, w=32)
+
+        def make(dirname, max_epochs):
+            dm = NYUv2DepthDataModule(dataset_dir=data_dir, batch_size=4, seed=0)
+            return Trainer(
+                tiny_task(), dm, max_epochs=max_epochs,
+                checkpoint_path=os.path.join(tmp_path, dirname),
+                log_every_n_steps=0, log_images=False, num_devices=4, seed=0,
+            )
+
+        state_full = make("full", 2).fit()
+
+        make("split", 1).fit()
+        t_resume = make("split", 2)
+        state_split = t_resume.fit(resume=True)
+
+        assert int(state_full.step) == int(state_split.step) == 4
+        for a, b in zip(
+            jax.tree.leaves(state_full.params), jax.tree.leaves(state_split.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # the resumed manager saw epoch 0's best val_loss
+        assert np.isfinite(t_resume.ckpt.best_val_loss)
