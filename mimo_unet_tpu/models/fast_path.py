@@ -1,0 +1,258 @@
+"""CT-layout inference fast path for MimoUNet.
+
+Runs the per-subnetwork encoders and decoders — the high-resolution,
+small-channel stages where NHWC XLA convs waste the machine — through the
+fused channel-transposed Pallas kernels (ops/pallas/ct_conv.py), keeping
+the shared core (reference model.py:178-243) on the tuned NHWC XLA path
+where channel counts are large enough to feed the MXU.
+
+Activations in CT layout are [C_pad, N*H*W] with channels padded to
+sublane multiples (pad channels exact zeros).  Subnetworks are folded
+S-major into the image axis (N = S*B), matching the grouped-weight
+selection in the kernel, and the Up-block's skip concat is fused into the
+decoder kernel (two-input mode) instead of materializing the
+[S*B, H, W, 63] tensor.
+
+Eval-only: BatchNorm folds into the kernels' affine epilogues and dropout
+is inactive, exactly the reference's inference configuration
+(ensemble.py:46-49 eval()).  Training and MC-dropout fall back to the
+reference NHWC path in models/mimo_unet.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mimo_unet_tpu.models.mimo_unet import MimoUNetConfig, core_apply
+from mimo_unet_tpu.ops.pallas.ct_conv import (
+    align8,
+    fold_bn_eval,
+    fused_double_conv_ct,
+    pack_w3x3,
+    pick_th,
+)
+from mimo_unet_tpu.ops.resize import _interp_matrix
+
+
+def ct_fast_path_supported(
+    cfg: MimoUNetConfig,
+    x_shape: Tuple[int, ...],
+    *,
+    train: bool,
+    mc_dropout: bool,
+) -> bool:
+    """True when the CT kernel path applies (see module docstring)."""
+    if cfg.ct_kernels == "off":
+        return False
+    if cfg.ct_kernels != "force" and jax.default_backend() != "tpu":
+        return False
+    if train or mc_dropout:
+        return False
+    if cfg.compute_dtype != "bfloat16" or cfg.mode != "bilinear":
+        return False
+    if len(x_shape) != 5:
+        return False
+    h, w = x_shape[2], x_shape[3]
+    if w % 256 != 0 or h % 2 != 0:
+        return False
+    f, s = cfg.filter_base_count, cfg.num_subnetworks
+    fs = f * s
+    cin = cfg.in_channels
+    # per-stage tile fit: in_conv (cin -> f -> f), down1 (f -> 2f -> 2f at
+    # half resolution), decoder (f + 2fs/2 -> ~in/2 -> f, fused out-conv)
+    dec_c2 = 2 * fs // cfg.factor
+    mid = (align8(f) + align8(dec_c2)) // 2  # decoder mid = in_channels // 2
+    ok = (
+        pick_th(h, w, cin, 0, f, f, align8(f)) is not None
+        and pick_th(h // 2, w // 2, align8(f), 0, 2 * f, 2 * f,
+                    align8(2 * f)) is not None
+        and pick_th(h, w, align8(f), align8(dec_c2),
+                    (f + dec_c2) // 2, f, 8) is not None
+    )
+    return ok
+
+
+def _fold_dc(conv1, bn1_p, bn1_s, conv2, bn2_p, bn2_s, blocks_split=None):
+    """Pack a DoubleConv's weights + fold eval BN, per group (leading S).
+
+    Returns (w1p [G,3cp,3ma], s1, sh1, w2p, s2, sh2).  ``blocks_split``
+    optionally splits conv1's input channels for the two-input kernel.
+    """
+    w1, b1 = conv1["w"], conv1["b"]
+    w2, b2 = conv2["w"], conv2["b"]
+    groups = w1.shape[0]
+    s1, sh1 = fold_bn_eval(b1, bn1_p, bn1_s)
+    s2, sh2 = fold_bn_eval(b2, bn2_p, bn2_s)
+
+    def pack1(wg):
+        if blocks_split is None:
+            return pack_w3x3([wg])
+        return pack_w3x3([wg[:, :, :blocks_split], wg[:, :, blocks_split:]])
+
+    w1p = jnp.stack([pack1(w1[g]) for g in range(groups)])
+    w2p = jnp.stack([pack_w3x3([w2[g]]) for g in range(groups)])
+    return w1p, s1, sh1, w2p, s2, sh2
+
+
+def _pool_ct(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
+    """2x2 max pool on CT activations [C, N*H*W] -> [C, N*(H/2)*(W/2)]."""
+    c = x.shape[0]
+    x4 = x.reshape(c, n, h, w)
+    y = lax.reduce_window(x4, -jnp.inf, lax.max,
+                          (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+    return y.reshape(c, n * (h // 2) * (w // 2))
+
+
+def _wpool_ct(x: jax.Array, w: int) -> jax.Array:
+    """W-pair max on CT activations [C, rows*W] -> [C, rows*(W/2)].
+
+    Lane compaction via 0/1 selection matmuls (MXU; ~3x faster than
+    reduce_window on this chip — experiments/exp_pool2.py) then an
+    elementwise max.  Exact: selection copies values bit-for-bit."""
+    import numpy as np
+
+    c, total = x.shape
+    rows = total // w
+    se = np.zeros((w, w // 2), np.float32)
+    se[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    so = np.zeros((w, w // 2), np.float32)
+    so[np.arange(1, w, 2), np.arange(w // 2)] = 1.0
+    x3 = x.reshape(c, rows, w)
+    even = jnp.einsum("crw,wv->crv", x3, jnp.asarray(se, x.dtype))
+    odd = jnp.einsum("crw,wv->crv", x3, jnp.asarray(so, x.dtype))
+    return jnp.maximum(even, odd).reshape(c, rows * (w // 2))
+
+
+def _upsample_ct_x2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
+    """Bilinear x2 align-corners on CT activations (matmul form, see
+    ops/resize.py _upsample_hw_matmul)."""
+    c = x.shape[0]
+    x4 = x.reshape(c, n, h, w)
+    mh = jnp.asarray(_interp_matrix(h, 2 * h)).astype(x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, 2 * w)).astype(x.dtype)
+    y = jnp.einsum("oh,cnhw->cnow", mh, x4)
+    y = jnp.einsum("pw,cnow->cnop", mw, y)
+    return y.reshape(c, n * 4 * h * w)
+
+
+def mimo_unet_apply_ct(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    cfg: MimoUNetConfig,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, dict]:
+    """Eval forward via CT kernels: [B,S,H,W,Cin] -> [B,S,H,W,Cout].
+
+    Numerically equivalent to ``mimo_unet_apply(train=False)`` in bf16 up
+    to one extra bf16 rounding per fused conv pair (tests/test_ct_conv.py).
+    """
+    b, s, h, w, cin = x.shape
+    f = cfg.filter_base_count
+    fa = align8(f)
+    n = s * b
+    cdt = jnp.bfloat16
+
+    enc_p, enc_s = params["encoder"], state["encoder"]
+    dec_p, dec_s = params["decoder"], state["decoder"]
+
+    # ---- to CT (S-major image order to match grouped weights) -------------
+    xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
+
+    # ---- encoder in_conv: cin -> f -> f at (h, w) --------------------------
+    w1p, s1, sh1, w2p, s2, sh2 = _fold_dc(
+        enc_p["in_conv"]["conv1"], enc_p["in_conv"]["bn1"], enc_s["in_conv"]["bn1"],
+        enc_p["in_conv"]["conv2"], enc_p["in_conv"]["bn2"], enc_s["in_conv"]["bn2"],
+    )
+    th = pick_th(h, w, cin, 0, f, f, fa)
+    x1s, hpooled = fused_double_conv_ct(
+        xct, w1p, s1, sh1, w2p, s2, sh2,
+        h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=True,
+        interpret=interpret,
+    )  # x1s [fa, n*h*w] (decoder skip); hpooled = H-half of the 2x2 pool
+
+    # ---- down1: pool -> (f -> 2f -> 2f) at (h/2, w/2) ----------------------
+    h2, w2 = h // 2, w // 2
+    pooled = _wpool_ct(hpooled, w)  # [fa, n*h2*w2]
+    d1c1, d1c2 = enc_p["down1"]["conv1"], enc_p["down1"]["conv2"]
+    s1, sh1 = fold_bn_eval(d1c1["b"], enc_p["down1"]["bn1"],
+                           enc_s["down1"]["bn1"])
+    s2, sh2 = fold_bn_eval(d1c2["b"], enc_p["down1"]["bn2"],
+                           enc_s["down1"]["bn2"])
+    # ``pooled`` carries fa channels (pad rows exact zeros) so the slab DMA
+    # stays sublane-aligned; widen conv1's input channels with zero rows
+    def pack_down1(wg):
+        wide = jnp.zeros((3, 3, fa, 2 * f), wg.dtype).at[:, :, :f].set(wg)
+        return pack_w3x3([wide])
+
+    w1p = jnp.stack([pack_down1(d1c1["w"][g]) for g in range(s)])
+    w2p = jnp.stack([pack_w3x3([d1c2["w"][g]]) for g in range(s)])
+    x2s = fused_double_conv_ct(
+        pooled, w1p, s1, sh1, w2p, s2, sh2,
+        h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
+        c1=fa, m=2 * f, o=2 * f, interpret=interpret,
+    )  # [align8(2f), n*h2*w2]
+
+    # ---- core (NHWC): subnetwork-major channel concat ----------------------
+    f2 = 2 * f
+    x2_nhwc = x2s[:f2].reshape(f2, s, b, h2, w2)
+    x2_concat = jnp.transpose(x2_nhwc, (2, 3, 4, 1, 0)).reshape(
+        b, h2, w2, s * f2)
+    x_up, _ = core_apply(
+        params["core"], state["core"], x2_concat, cfg, train=False,
+        rng=jax.random.key(0),
+    )  # [b, h2, w2, 2fs/factor] NHWC
+
+    # ---- decoder: fused upsample-concat DoubleConv + 1x1 out-conv ----------
+    c_up = x_up.shape[-1]
+    c_up_a = align8(c_up)
+    xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))  # [c_up, b, h2, w2]
+    if c_up_a != c_up:
+        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
+    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
+
+    conv1 = dec_p["up4"]["conv"]["conv1"]
+    conv2 = dec_p["up4"]["conv"]["conv2"]
+    bn1_p, bn2_p = dec_p["up4"]["conv"]["bn1"], dec_p["up4"]["conv"]["bn2"]
+    bn1_s, bn2_s = dec_s["up4"]["conv"]["bn1"], dec_s["up4"]["conv"]["bn2"]
+    mid_c = conv1["w"].shape[4]
+    s1, sh1 = fold_bn_eval(conv1["b"], bn1_p, bn1_s)
+    s2, sh2 = fold_bn_eval(conv2["b"], bn2_p, bn2_s)
+
+    # concat order is [skip(f), upsampled(c_up)] (reference
+    # components.py:119: cat([x2, x1])); widen both blocks to their aligned
+    # channel counts so the kernel's two-input column layout matches
+    def pack_dec(wg):
+        skip_blk = jnp.zeros((3, 3, fa, mid_c), wg.dtype).at[:, :, :f].set(
+            wg[:, :, :f])
+        up_blk = jnp.zeros((3, 3, c_up_a, mid_c), wg.dtype).at[
+            :, :, :c_up].set(wg[:, :, f:])
+        return pack_w3x3([skip_blk, up_blk])
+
+    w1p = jnp.stack([pack_dec(conv1["w"][g]) for g in range(s)])
+    w2p = jnp.stack([pack_w3x3([conv2["w"][g]]) for g in range(s)])
+
+    outc = dec_p["outc"]
+    oc = outc["w"].shape[4]
+    oca = align8(oc)
+    wo = jnp.zeros((s, f, oca), jnp.float32).at[:, :, :oc].set(
+        outc["w"][:, 0, 0])
+    bo = jnp.zeros((s, oca), jnp.float32).at[:, :oc].set(outc["b"])
+
+    out = fused_double_conv_ct(
+        x1s, w1p, s1, sh1, w2p, s2, sh2,
+        h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca),
+        c1=fa, m=mid_c, o=f,
+        x2=xup_ct, c2=c_up_a, n2_images=b,
+        wo=wo, bo=bo, interpret=interpret,
+    )  # [oca, n*h*w]
+
+    logits = out[:oc].reshape(oc, s, b, h, w)
+    logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
+    # eval mode: BatchNorm running stats are unchanged
+    return logits, state

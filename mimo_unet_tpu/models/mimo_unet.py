@@ -60,6 +60,10 @@ class MimoUNetConfig:
     # None -> f32 compute; "bfloat16" -> MXU bf16 with f32 accumulation
     # (the TPU analog of the reference's "16-mixed" AMP).
     compute_dtype: Optional[str] = None
+    # CT Pallas fast path for eval (ops/pallas/ct_conv.py): "auto" enables
+    # it on TPU for eligible shapes, "off" disables, "force" also enables
+    # the interpreter path off-TPU (tests).
+    ct_kernels: str = "auto"
 
     def __post_init__(self):
         spatial = (
@@ -189,6 +193,13 @@ def mimo_unet_apply(
     if rng is None:
         rng = jax.random.key(0)  # unused: every dropout site is a no-op
 
+    from mimo_unet_tpu.models.fast_path import (
+        ct_fast_path_supported, mimo_unet_apply_ct)
+
+    if ct_fast_path_supported(cfg, x.shape, train=train,
+                              mc_dropout=mc_dropout):
+        return mimo_unet_apply_ct(params, state, x, cfg)
+
     k_enc, k_core, k_dec = jax.random.split(rng, 3)
     cdt = cfg._compute_dtype
 
@@ -218,42 +229,9 @@ def mimo_unet_apply(
     x2_concat = x2_concat.reshape(x2_concat.shape[:-2] + (-1,))
 
     # ----- shared core -------------------------------------------------------
-    kc = jax.random.split(k_core, 7)
-    core_st = {}
-    (x3, ind3), core_st["down2"] = down_apply(
-        params["core"]["down2"], state["core"]["down2"], x2_concat, train=train,
-        use_pooling_indices=cfg.use_pooling_indices,
-        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[0],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
-    )
-    (x4, ind4), core_st["down3"] = down_apply(
-        params["core"]["down3"], state["core"]["down3"], x3, train=train,
-        use_pooling_indices=cfg.use_pooling_indices,
-        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[1],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
-    )
-    (x5, ind5), core_st["down4"] = down_apply(
-        params["core"]["down4"], state["core"]["down4"], x4, train=train,
-        use_pooling_indices=cfg.use_pooling_indices,
-        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[2],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
-    )
-    x5 = dropout(x5, cfg.center_dropout_rate, kc[3],
-                 deterministic=not dropout_active)
-    x_up, core_st["up1"] = up_apply(
-        params["core"]["up1"], state["core"]["up1"], x5, x4, ind5,
-        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
-        dropout_key=kc[4], mc_dropout=mc_dropout, compute_dtype=cdt,
-    )
-    x_up, core_st["up2"] = up_apply(
-        params["core"]["up2"], state["core"]["up2"], x_up, x3, ind4,
-        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
-        dropout_key=kc[5], mc_dropout=mc_dropout, compute_dtype=cdt,
-    )
-    x_up, core_st["up3"] = up_apply(
-        params["core"]["up3"], state["core"]["up3"], x_up, x2_concat, ind3,
-        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
-        dropout_key=kc[6], mc_dropout=mc_dropout, compute_dtype=cdt,
+    x_up, core_st = core_apply(
+        params["core"], state["core"], x2_concat, cfg, train=train,
+        rng=k_core, mc_dropout=mc_dropout, dropout_active=dropout_active,
     )
 
     # ----- decoder: vmap over the subnetwork axis ---------------------------
@@ -277,6 +255,60 @@ def mimo_unet_apply(
     # [S, B, H, W, C_out] -> [B, S, H, W, C_out]; model output is the loss
     # boundary, so upcast bf16 activations back to f32 here.
     return jnp.moveaxis(logits, 0, 1).astype(jnp.float32), new_state
+
+
+def core_apply(
+    params: dict,
+    state: dict,
+    x2_concat: jax.Array,
+    cfg: MimoUNetConfig,
+    *,
+    train: bool,
+    rng: jax.Array,
+    mc_dropout: bool = False,
+    dropout_active: bool = False,
+) -> Tuple[jax.Array, dict]:
+    """Shared core (down2..up3, reference model.py:178-243): the NHWC
+    section between the per-subnetwork encoder concat and the decoders."""
+    cdt = cfg._compute_dtype
+    kc = jax.random.split(rng, 7)
+    core_st = {}
+    (x3, ind3), core_st["down2"] = down_apply(
+        params["down2"], state["down2"], x2_concat, train=train,
+        use_pooling_indices=cfg.use_pooling_indices,
+        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[0],
+        mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    (x4, ind4), core_st["down3"] = down_apply(
+        params["down3"], state["down3"], x3, train=train,
+        use_pooling_indices=cfg.use_pooling_indices,
+        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[1],
+        mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    (x5, ind5), core_st["down4"] = down_apply(
+        params["down4"], state["down4"], x4, train=train,
+        use_pooling_indices=cfg.use_pooling_indices,
+        dropout_rate=cfg.core_dropout_rate, dropout_key=kc[2],
+        mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    x5 = dropout(x5, cfg.center_dropout_rate, kc[3],
+                 deterministic=not dropout_active)
+    x_up, core_st["up1"] = up_apply(
+        params["up1"], state["up1"], x5, x4, ind5,
+        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
+        dropout_key=kc[4], mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    x_up, core_st["up2"] = up_apply(
+        params["up2"], state["up2"], x_up, x3, ind4,
+        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
+        dropout_key=kc[5], mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    x_up, core_st["up3"] = up_apply(
+        params["up3"], state["up3"], x_up, x2_concat, ind3,
+        mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
+        dropout_key=kc[6], mc_dropout=mc_dropout, compute_dtype=cdt,
+    )
+    return x_up, core_st
 
 
 def count_parameters(params: dict) -> int:

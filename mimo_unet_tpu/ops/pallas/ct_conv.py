@@ -1,0 +1,437 @@
+"""Fused DoubleConv Pallas kernel in the channel-transposed (CT) layout.
+
+This is the production TPU fast path for the U-Net's high-resolution,
+small-channel stages (per-subnetwork encoders and decoders — reference
+mimo/models/mimo_components/components.py:8-33, model.py:119-175,246-297),
+where NHWC XLA convolutions waste most of the machine: with C in {3..63}
+the lane dimension is nearly empty, so both the MXU contraction and every
+HBM transfer run at a fraction of peak.
+
+Layout: activations are [C, N*H*W] — channels ride sublanes, batch x
+spatial flattened into lanes.  Measured on v5e (experiments/exp_dma2d.py):
+2D blocks in this layout DMA at ~850 GB/s combined, vs ~330 GB/s for
+3D [1, C, th*W] blocks and ~170 GB/s with unaligned channel counts.
+
+Per 3x3 conv (reflect padding, torch semantics):
+  * a column buffer is built from 3 dy-shifted *aligned* lane-block copies
+    (rows are W lanes apart, W % 128 == 0), giving contraction depth 3*C;
+  * ONE 2D dot [3Cp, 3Mp]^T x [3Cp, rows*W] -> [3Mp, rows*W] runs on the
+    MXU at big-K efficiency (127 TF/s measured for K~512);
+  * the three dx tap planes are combined with single-lane rolls + masked
+    edge fixes (reflect), so reflect padding never materializes;
+  * BatchNorm (eval) + bias fold into a per-channel affine epilogue, ReLU
+    fused.  conv1 -> affine -> relu -> conv2 -> affine -> relu [-> 1x1
+    out-conv] all happen in VMEM; the intermediate never touches HBM.
+
+Halo handling is BlockSpec-only (pl.Element overlapping windows with high
+padding) — manual make_async_copy DMA crashes this testbed's worker.
+Tile 0 reads a clamped slab and rebuilds its column windows with shifted
+offsets; every value influenced by out-of-image junk is overwritten with
+its reflect-correct source before use.
+
+Supports:
+  * grouped weights (leading [G] axis) for the vmapped subnetwork stacks —
+    tiles select their group in the BlockSpec index map;
+  * a second input with its own (smaller) batch period, fusing the
+    skip/upsample channel concat of the ``Up`` block (reference
+    components.py:119) without materializing it;
+  * a fused 1x1 out-conv epilogue (reference components.py:123-129).
+
+Numerics: operands bf16, MXU accumulates f32, dx-plane combine in f32 —
+same rounding class as the XLA bf16 conv path (one extra bf16 round at the
+conv1->conv2 boundary); verified ≤6e-3 relative vs the f32 torch-parity
+oracle (tests/test_ct_conv.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def align8(n: int) -> int:
+    return (n + 7) // 8 * 8
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _roll(v, shift, interpret):
+    if interpret:
+        return jnp.roll(v, shift, axis=-1)
+    return pltpu.roll(v, shift % v.shape[-1], axis=v.ndim - 1)
+
+
+def _edge_masks(w: int, lanes: int):
+    """(first-col, last-col) [1, lanes] masks of each W-wide row."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    if w & (w - 1) == 0:
+        jm = j & (w - 1)
+    else:
+        jm = jax.lax.rem(j, w)
+    return jm == 0, jm == (w - 1)
+
+
+def _combine_dx(y_ref, mpad, m, w, lanes, s_ref, b_ref, interpret):
+    """Tap planes [3*mpad, >=lanes] f32 -> relu((y0<<1 + y1 + y2>>1)*s + b).
+
+    out[j] = y0[j-1] + y1[j] + y2[j+1]; at the first/last column of each
+    W-wide row the rolled-in neighbor is replaced by the reflect value
+    (col 0 uses y0[1], col W-1 uses y2[W-2]).
+    """
+    first, last = _edge_masks(w, lanes)
+    y0 = y_ref[0:m, 0:lanes]
+    y1 = y_ref[mpad:mpad + m, 0:lanes]
+    y2 = y_ref[2 * mpad:2 * mpad + m, 0:lanes]
+    left = jnp.where(first, _roll(y0, -1, interpret), _roll(y0, 1, interpret))
+    right = jnp.where(last, _roll(y2, 1, interpret), _roll(y2, -1, interpret))
+    out = (left + y1 + right) * s_ref[0:m] + b_ref[0:m]
+    return jnp.maximum(out, 0.0)
+
+
+def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
+                last_img, i):
+    """Write input ``x_ref``'s slab into its column segment.
+
+    Column part dy (rows [dy*cp + base, dy*cp + base + c)) position p of
+    th+2 must hold the input's flat row i*th - 2 + dy + p.  The generic
+    slab starts at flat row i*th - 4 (slab row s = flat row i*th - 4 + s);
+    a clamped slab (tile at flat row 0) starts at 0.  Positions sourced
+    from other images / out of bounds are fixed to their reflect rows.
+    """
+    r1 = th + 2
+
+    @pl.when(jnp.logical_not(clamped))
+    def _():
+        for dy in range(3):
+            col[dy * cp + base:dy * cp + base + c] = (
+                x_ref[:, (2 + dy) * w:(2 + dy + r1) * w])
+
+    @pl.when(clamped)
+    def _():
+        # slab row s = flat row s; copy in-bounds tails (uncovered
+        # positions feed only rows that are overwritten below)
+        col[base:base + c, 2 * w:r1 * w] = x_ref[:, 0:(r1 - 2) * w]
+        col[cp + base:cp + base + c, w:r1 * w] = x_ref[:, 0:(r1 - 1) * w]
+        col[2 * cp + base:2 * cp + base + c, 0:r1 * w] = x_ref[:, 0:r1 * w]
+
+    # image row -1 (part dy=0 position 1) -> reflect row 1 = flat row
+    # i*th + 1 = slab row 5 (clamped: slab row 1)
+    @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
+    def _():
+        col[base:base + c, w:2 * w] = x_ref[:, 5 * w:6 * w]
+
+    @pl.when(clamped)
+    def _():
+        col[base:base + c, w:2 * w] = x_ref[:, w:2 * w]
+
+    # image row H (part dy=2 position th) -> reflect row H-2 = flat row
+    # i*th + th - 2 = slab row th+2 (clamped: slab row th-2)
+    @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
+    def _():
+        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = (
+            x_ref[:, (th + 2) * w:(th + 3) * w])
+
+    @pl.when(jnp.logical_and(last_img, clamped))
+    def _():
+        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = (
+            x_ref[:, (th - 2) * w:(th - 1) * w])
+
+
+def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
+                 tpi, bt2, out_dtype, interpret):
+    r1 = th + 2
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    ma, oa = align8(m), align8(o)
+
+    def kernel(*refs):
+        refs = list(refs)
+        x1_ref = refs.pop(0)
+        x2_ref = refs.pop(0) if c2 else None
+        (w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+         wo_ref, bo_ref, out_ref) = refs[:9]
+        hp_ref = refs[9] if emit_hpool else None
+        col, ys, mid = refs[-3:]
+        i = pl.program_id(0)
+        first_img = (i % tpi) == 0
+        last_img = (i % tpi) == tpi - 1
+
+        _build_cols(col, x1_ref, cp=cp, base=0, c=c1, w=w, th=th,
+                    clamped=i == 0, first_img=first_img, last_img=last_img,
+                    i=i)
+        if c1a > c1:
+            for dy in range(3):
+                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
+                    (c1a - c1, r1 * w), col.dtype)
+        if c2:
+            _build_cols(col, x2_ref, cp=cp, base=c1a, c=c2, w=w, th=th,
+                        clamped=(i % bt2) == 0, first_img=first_img,
+                        last_img=last_img, i=i)
+            if c2a > c2:
+                for dy in range(3):
+                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
+                        (c2a - c2, r1 * w), col.dtype)
+
+        ys[0:3 * ma, :] = jax.lax.dot_general(
+            w1_ref[:], col[0:3 * cp, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mid[...] = _combine_dx(
+            ys, ma, m, w, r1 * w, s1_ref, b1_ref,
+            interpret).astype(mid.dtype)
+
+        # mid rows are conv2-input ext rows [i*th-1, i*th+th+1)
+        @pl.when(first_img)
+        def _():
+            mid[:, 0:w] = mid[:, 2 * w:3 * w]
+
+        @pl.when(last_img)
+        def _():
+            mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:(r1 - 2) * w]
+
+        for dy in range(3):
+            col[dy * ma:dy * ma + m, 0:th * w] = mid[:, dy * w:(dy + th) * w]
+            if ma > m:
+                col[dy * ma + m:(dy + 1) * ma, 0:th * w] = jnp.zeros(
+                    (ma - m, th * w), col.dtype)
+
+        ys[0:3 * oa, 0:th * w] = jax.lax.dot_general(
+            w2_ref[:], col[0:3 * ma, 0:th * w],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = _combine_dx(ys, oa, o, w, th * w, s2_ref, b2_ref,
+                         interpret)
+        if fuse_out:
+            out_ref[...] = (jax.lax.dot_general(
+                wo_ref[:], y2.astype(out_dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                + bo_ref[:]).astype(out_dtype)
+        else:
+            y2b = y2.astype(out_dtype)
+            out_ref[0:o, :] = y2b
+            if out_c > o:
+                out_ref[o:out_c, :] = jnp.zeros((out_c - o, th * w),
+                                                out_dtype)
+            if emit_hpool:
+                # H-half of the 2x2 maxpool that follows this DoubleConv
+                # in a Down block (reference components.py:48): row pairs
+                # within the tile (th even, tiles never straddle images).
+                # Rolls must stay f32 (Mosaic: no sub-32-bit rotate); max
+                # commutes with the monotone bf16 rounding, so this equals
+                # pooling the bf16 output.
+                hm = jnp.maximum(y2, _roll(y2, th * w - w, interpret))
+                hm = hm.astype(out_dtype)
+                hp_ref[0:o, :] = jnp.concatenate(
+                    [hm[:, r * w:(r + 1) * w] for r in range(0, th, 2)],
+                    axis=1)
+                if out_c > o:
+                    hp_ref[o:out_c, :] = jnp.zeros(
+                        (out_c - o, th * w // 2), out_dtype)
+
+    return kernel
+
+
+def pack_w3x3(blocks: Sequence[jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    """Pack HWIO 3x3 weights into the CT kernel layout [3*sum(ca), 3*ma].
+
+    ``blocks`` are per-input weight slices [3, 3, c_j, M] in concat order;
+    block (dy, dx) of input j lands at rows [dy*cp + base_j, +c_j), cols
+    [dx*ma, +M), zeros in every alignment pad (pad channels must be exact
+    zeros so junk-free math survives zero-padded activations).
+    """
+    m = blocks[0].shape[3]
+    ma = align8(m)
+    cas = [align8(b.shape[2]) for b in blocks]
+    cp = sum(cas)
+    out = jnp.zeros((3 * cp, 3 * ma), dtype)
+    for dy in range(3):
+        for dx in range(3):
+            base = 0
+            for b, ca in zip(blocks, cas):
+                c = b.shape[2]
+                out = out.at[
+                    dy * cp + base:dy * cp + base + c,
+                    dx * ma:dx * ma + m].set(b[dy, dx].astype(dtype))
+                base += ca
+    return out
+
+
+def fold_bn_eval(conv_bias: jax.Array, bn_params: dict,
+                 bn_state: dict, eps: float = 1e-5) -> Tuple[jax.Array, jax.Array]:
+    """Fold conv bias + eval-mode BatchNorm into (scale, shift) f32.
+
+    y = ((conv + b) - mean) * gamma/sqrt(var+eps) + beta
+      = conv * scale + shift, scale = gamma*rsqrt(var+eps),
+      shift = beta + (b - mean) * scale.
+    (Matches ops/norm.py batch_norm eval branch.)
+    """
+    inv = jax.lax.rsqrt(bn_state["var"].astype(jnp.float32) + eps)
+    scale = inv * bn_params["scale"].astype(jnp.float32)
+    shift = (bn_params["bias"].astype(jnp.float32)
+             + (conv_bias.astype(jnp.float32)
+                - bn_state["mean"].astype(jnp.float32)) * scale)
+    return scale, shift
+
+
+def _padcol(v: jax.Array, n: int) -> jax.Array:
+    """[G, k] f32 -> [G, n, 1] zero-padded per-channel column vectors."""
+    g, k = v.shape
+    out = jnp.zeros((g, n, 1), jnp.float32)
+    return out.at[:, :k, 0].set(v.astype(jnp.float32))
+
+
+def estimate_vmem(th, w, c1, c2, m, o, out_c) -> int:
+    """Rough VMEM bytes for buffer-fit gating."""
+    cp = align8(c1) + (align8(c2) if c2 else 0)
+    ma, oa = align8(m), align8(o)
+    r1w = (th + 2) * w
+    col = 3 * max(cp, ma) * r1w * 2
+    ys = 3 * max(ma, oa) * r1w * 4
+    mid = m * r1w * 2
+    slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
+    out = 2 * out_c * th * w * 2
+    return col + ys + mid + slabs + out
+
+
+def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
+            budget: int = 11 * 2 ** 20) -> Optional[int]:
+    for th in (32, 16, 8):
+        if h % th == 0 and estimate_vmem(th, w, c1, c2, m, o, out_c) <= budget:
+            return th
+    return None
+
+
+def fused_double_conv_ct(
+    x1: jax.Array,
+    w1p: jax.Array,
+    s1: jax.Array,
+    sh1: jax.Array,
+    w2p: jax.Array,
+    s2: jax.Array,
+    sh2: jax.Array,
+    *,
+    h: int,
+    w: int,
+    th: int,
+    c1: int,
+    m: int,
+    o: int,
+    x2: Optional[jax.Array] = None,
+    c2: int = 0,
+    n2_images: int = 0,
+    wo: Optional[jax.Array] = None,
+    bo: Optional[jax.Array] = None,
+    emit_hpool: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """relu(bn2(conv2(relu(bn1(conv1(cat(x1, x2))))))) [-> 1x1 conv].
+
+    x1:  [c1, N*H*W] CT activations (N images, h % th == 0, w % 128 == 0)
+    x2:  optional [c2, n2_images*H*W] second concat input; its images
+         repeat with period n2_images (N % n2_images == 0) — fuses the
+         Up-block skip concat without materializing it
+    w1p: [G, 3*(c1a+c2a), 3*ma] packed conv1 weights (pack_w3x3 per group)
+    s1/sh1: [G, m] folded affine (fold_bn_eval)
+    w2p: [G, 3*ma, 3*oa] packed conv2 weights; s2/sh2: [G, o]
+    wo/bo: optional [G, o, oca] / [G, oc] fused 1x1 out-conv (+bias)
+    Returns [align8(o) or align8(oc), N*H*W]; pad channels are zeros
+    (exact), real channels first.  With ``emit_hpool`` (incompatible with
+    ``wo``), additionally returns the H-halved max ([out_c, N*(H/2)*W]) —
+    the row half of the Down block's 2x2 maxpool, so only the cheap W-pair
+    max remains outside.
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    total = x1.shape[1]
+    n_rows = total // w
+    assert h % th == 0 and w % 128 == 0
+    n_tiles = n_rows // th
+    tpi = h // th
+    g = w1p.shape[0]
+    gt = n_tiles // g  # tiles per group
+    fuse_out = wo is not None
+    ma, oa = align8(m), align8(o)
+    if fuse_out:
+        oc = bo.shape[1]
+        out_c = align8(oc)
+    else:
+        out_c = oa
+        wo = jnp.zeros((g, o, 8), x1.dtype)
+        bo = jnp.zeros((g, 8), jnp.float32)
+    oca = wo.shape[2]
+
+    assert not (emit_hpool and fuse_out)
+    bt2 = (n2_images * tpi) if c2 else 1
+    kern = _make_kernel(th=th, w=w, c1=c1, c2=c2, m=m, o=o, out_c=out_c,
+                        fuse_out=fuse_out, emit_hpool=emit_hpool,
+                        tpi=tpi, bt2=bt2,
+                        out_dtype=x1.dtype, interpret=interpret)
+
+    def x_spec(c, period_tiles):
+        return pl.BlockSpec(
+            (pl.Element(c), pl.Element((th + 8) * w, padding=(0, 8 * w))),
+            lambda i: (0, pl.multiple_of(
+                jnp.maximum((i % period_tiles) * th - 4, 0) * w, 128)),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [x_spec(c1, n_tiles)]
+    operands = [x1]
+    if c2:
+        in_specs.append(x_spec(c2, bt2))
+        operands.append(x2)
+
+    def gspec(ndim_shape):
+        return pl.BlockSpec(
+            (None,) + ndim_shape, lambda i: (i // gt,) + (0,) * len(ndim_shape),
+            memory_space=pltpu.VMEM)
+
+    in_specs += [
+        gspec(w1p.shape[1:]),
+        gspec((ma, 1)), gspec((ma, 1)),
+        gspec(w2p.shape[1:]),
+        gspec((oa, 1)), gspec((oa, 1)),
+        gspec(wo.shape[1:]),
+        gspec((oca, 1)),
+    ]
+    operands += [
+        w1p.astype(x1.dtype),
+        _padcol(s1, ma), _padcol(sh1, ma),
+        w2p.astype(x1.dtype),
+        _padcol(s2, oa), _padcol(sh2, oa),
+        wo.astype(x1.dtype),
+        _padcol(bo, oca),
+    ]
+
+    cp = align8(c1) + (align8(c2) if c2 else 0)
+    out_specs = pl.BlockSpec((out_c, th * w), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((out_c, total), x1.dtype)
+    if emit_hpool:
+        out_specs = (out_specs,
+                     pl.BlockSpec((out_c, th * w // 2), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((out_c, total // 2), x1.dtype))
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3 * max(cp, ma), (th + 2) * w), x1.dtype),
+            pltpu.VMEM((3 * max(ma, oa), (th + 2) * w), jnp.float32),
+            pltpu.VMEM((m, (th + 2) * w), x1.dtype),
+        ],
+        interpret=interpret,
+    )(*operands)

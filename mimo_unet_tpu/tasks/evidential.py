@@ -40,6 +40,7 @@ class EvidentialUnetTask:
     scheduler_step_size: int = 20
     scheduler_gamma: float = 0.5
     compute_dtype: Optional[str] = None
+    ct_kernels: str = "auto"  # CT Pallas eval fast path (models/fast_path.py)
 
     @property
     def model_config(self) -> MimoUNetConfig:
@@ -56,6 +57,7 @@ class EvidentialUnetTask:
             bilinear=True,
             use_pooling_indices=False,
             compute_dtype=self.compute_dtype,
+            ct_kernels=self.ct_kernels,
         )
 
     @property

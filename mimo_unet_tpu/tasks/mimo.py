@@ -89,6 +89,7 @@ class MimoUnetTask:
     scheduler_step_size: int = 20
     scheduler_gamma: float = 0.5
     compute_dtype: Optional[str] = None
+    ct_kernels: str = "auto"  # CT Pallas eval fast path (models/fast_path.py)
 
     # ------------------------------------------------------------------ config
 
@@ -107,6 +108,7 @@ class MimoUnetTask:
             bilinear=True,
             use_pooling_indices=False,
             compute_dtype=self.compute_dtype,
+            ct_kernels=self.ct_kernels,
         )
 
     @property

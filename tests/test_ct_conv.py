@@ -1,0 +1,227 @@
+"""CT-layout fused DoubleConv kernel and fast-path forward (interpret mode).
+
+The kernel's reflect/boundary handling is intricate (rolled dx taps,
+per-image reflect fixes, clamped tile 0), so it is verified against the
+framework's own conv/norm ops, which are themselves torch-oracle-verified
+(tests/test_ops.py, tests/test_model.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimo_unet_tpu.models.mimo_unet import (
+    MimoUNetConfig,
+    mimo_unet_apply,
+    mimo_unet_init,
+)
+from mimo_unet_tpu.models.fast_path import (
+    ct_fast_path_supported,
+    mimo_unet_apply_ct,
+)
+from mimo_unet_tpu.ops.conv import reflect_pad1
+from mimo_unet_tpu.ops.pallas.ct_conv import (
+    align8,
+    fold_bn_eval,
+    fused_double_conv_ct,
+    pack_w3x3,
+)
+
+
+def _xla_double_conv(x_nhwc, w1, s1, b1, w2, s2, b2):
+    from jax import lax
+
+    def conv(x, wt):
+        return lax.conv_general_dilated(
+            reflect_pad1(x), wt.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y = jnp.maximum(conv(x_nhwc, w1) * s1 + b1, 0).astype(x_nhwc.dtype)
+    return jnp.maximum(conv(y, w2) * s2 + b2, 0).astype(x_nhwc.dtype)
+
+
+def _mk(key, shape, scale=0.3):
+    return jax.random.normal(key, shape, jnp.float32) * scale
+
+
+class TestFusedDoubleConvCT:
+    @pytest.mark.parametrize("c,m,o,h,w,n,th", [
+        (5, 7, 6, 16, 256, 3, 8),     # odd channels, multi-image
+        (12, 9, 11, 16, 256, 2, 16),  # single tile per image
+        (3, 8, 8, 24, 384, 2, 8),     # non-pow2 W (384 = 3*128)
+    ])
+    def test_matches_xla_reference(self, c, m, o, h, w, n, th):
+        ks = jax.random.split(jax.random.key(0), 7)
+        x = _mk(ks[0], (n, h, w, c), 1.0)
+        w1, w2 = _mk(ks[1], (3, 3, c, m)), _mk(ks[2], (3, 3, m, o))
+        s1 = jax.random.uniform(ks[3], (m,), minval=0.5, maxval=1.5)
+        b1 = _mk(ks[4], (m,), 0.1)
+        s2 = jax.random.uniform(ks[5], (o,), minval=0.5, maxval=1.5)
+        b2 = _mk(ks[6], (o,), 0.1)
+
+        x_bf = x.astype(jnp.bfloat16)
+        ref = _xla_double_conv(x_bf, w1, s1, b1, w2, s2, b2)
+        ref_ct = jnp.moveaxis(ref, -1, 0).reshape(o, -1)
+
+        xct = jnp.moveaxis(x_bf, -1, 0).reshape(c, -1)
+        w1p = pack_w3x3([w1])[None]
+        w2p = pack_w3x3([w2])[None]
+        out = fused_double_conv_ct(
+            xct, w1p, s1[None], b1[None], w2p, s2[None], b2[None],
+            h=h, w=w, th=th, c1=c, m=m, o=o, interpret=True)
+
+        got = out[:o].astype(np.float32)
+        want = ref_ct.astype(np.float32)
+        scale = float(jnp.max(jnp.abs(want))) or 1.0
+        np.testing.assert_allclose(got, want, atol=3e-2 * scale)
+        # alignment-pad channels must be exact zeros
+        if align8(o) > o:
+            assert float(jnp.max(jnp.abs(out[o:]))) == 0.0
+
+    def test_grouped_weights_select_per_image_block(self):
+        c, m, o, h, w, g, npg = 4, 6, 5, 16, 256, 2, 2
+        ks = jax.random.split(jax.random.key(1), 3)
+        x = _mk(ks[0], (g * npg, h, w, c), 1.0).astype(jnp.bfloat16)
+        w1 = _mk(ks[1], (g, 3, 3, c, m))
+        w2 = _mk(ks[2], (g, 3, 3, m, o))
+        ones_m, zeros_m = jnp.ones((g, m)), jnp.zeros((g, m))
+        ones_o, zeros_o = jnp.ones((g, o)), jnp.zeros((g, o))
+
+        xct = jnp.moveaxis(x, -1, 0).reshape(c, -1)
+        w1p = jnp.stack([pack_w3x3([w1[i]]) for i in range(g)])
+        w2p = jnp.stack([pack_w3x3([w2[i]]) for i in range(g)])
+        out = fused_double_conv_ct(
+            xct, w1p, ones_m, zeros_m, w2p, ones_o, zeros_o,
+            h=h, w=w, th=8, c1=c, m=m, o=o, interpret=True)
+
+        for gi in range(g):
+            sl = slice(gi * npg * h * w, (gi + 1) * npg * h * w)
+            ref = _xla_double_conv(
+                x[gi * npg:(gi + 1) * npg], w1[gi], jnp.ones(m), jnp.zeros(m),
+                w2[gi], jnp.ones(o), jnp.zeros(o))
+            ref_ct = jnp.moveaxis(ref, -1, 0).reshape(o, -1)
+            scale = float(jnp.max(jnp.abs(ref_ct))) or 1.0
+            np.testing.assert_allclose(
+                out[:o, sl].astype(np.float32),
+                ref_ct.astype(np.float32), atol=3e-2 * scale)
+
+    def test_two_input_concat_and_fused_outconv(self):
+        c1r, c2r, m, o, oc, h, w, n = 5, 6, 7, 6, 2, 16, 256, 2
+        c1a, c2a = align8(c1r), align8(c2r)
+        ks = jax.random.split(jax.random.key(2), 6)
+        xa = _mk(ks[0], (n, h, w, c1r), 1.0).astype(jnp.bfloat16)
+        xb = _mk(ks[1], (n, h, w, c2r), 1.0).astype(jnp.bfloat16)
+        w1 = _mk(ks[2], (3, 3, c1r + c2r, m))
+        w2 = _mk(ks[3], (3, 3, m, o))
+        wo = _mk(ks[4], (1, 1, o, oc))
+        bo = _mk(ks[5], (oc,), 0.1)
+
+        ref = _xla_double_conv(
+            jnp.concatenate([xa, xb], axis=-1), w1, jnp.ones(m), jnp.zeros(m),
+            w2, jnp.ones(o), jnp.zeros(o))
+        ref = (jnp.einsum("nhwo,oc->nhwc", ref.astype(jnp.float32),
+                          wo[0, 0]) + bo)
+        ref_ct = jnp.moveaxis(ref.astype(jnp.bfloat16), -1, 0).reshape(oc, -1)
+
+        # pad both inputs' channels to alignment (zeros), as the fast path does
+        xa_p = jnp.concatenate(
+            [xa, jnp.zeros(xa.shape[:-1] + (c1a - c1r,), xa.dtype)], -1)
+        xb_p = jnp.concatenate(
+            [xb, jnp.zeros(xb.shape[:-1] + (c2a - c2r,), xb.dtype)], -1)
+        x1ct = jnp.moveaxis(xa_p, -1, 0).reshape(c1a, -1)
+        x2ct = jnp.moveaxis(xb_p, -1, 0).reshape(c2a, -1)
+        blk1 = jnp.zeros((3, 3, c1a, m)).at[:, :, :c1r].set(w1[:, :, :c1r])
+        blk2 = jnp.zeros((3, 3, c2a, m)).at[:, :, :c2r].set(w1[:, :, c1r:])
+        w1p = pack_w3x3([blk1, blk2])[None]
+        w2p = pack_w3x3([w2])[None]
+        wop = jnp.zeros((1, o, align8(oc))).at[0, :, :oc].set(wo[0, 0])
+        bop = jnp.zeros((1, align8(oc))).at[0, :oc].set(bo)
+
+        out = fused_double_conv_ct(
+            x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
+            w2p, jnp.ones((1, o)), jnp.zeros((1, o)),
+            h=h, w=w, th=8, c1=c1a, m=m, o=o,
+            x2=x2ct, c2=c2a, n2_images=n, wo=wop, bo=bop, interpret=True)
+
+        scale = float(jnp.max(jnp.abs(ref_ct))) or 1.0
+        np.testing.assert_allclose(
+            out[:oc].astype(np.float32), ref_ct.astype(np.float32),
+            atol=4e-2 * scale)
+
+    def test_x2_with_smaller_batch_period_broadcasts(self):
+        """x2 with n2 < n repeats its images with period n2 (the decoder's
+        shared core output consumed by every subnetwork)."""
+        c1r, c2r, m, o, h, w = 4, 4, 5, 5, 16, 256
+        n, n2 = 4, 2
+        ks = jax.random.split(jax.random.key(3), 4)
+        xa = _mk(ks[0], (n, h, w, c1r), 1.0).astype(jnp.bfloat16)
+        xb = _mk(ks[1], (n2, h, w, c2r), 1.0).astype(jnp.bfloat16)
+        w1 = _mk(ks[2], (3, 3, c1r + c2r, m))
+        w2 = _mk(ks[3], (3, 3, m, o))
+
+        xb_full = jnp.concatenate([xb, xb], axis=0)
+        ref = _xla_double_conv(
+            jnp.concatenate([xa, xb_full], axis=-1), w1,
+            jnp.ones(m), jnp.zeros(m), w2, jnp.ones(o), jnp.zeros(o))
+        ref_ct = jnp.moveaxis(ref, -1, 0).reshape(o, -1)
+
+        x1ct = jnp.moveaxis(xa, -1, 0).reshape(c1r, -1)
+        x2ct = jnp.moveaxis(xb, -1, 0).reshape(c2r, -1)
+        w1p = pack_w3x3([w1[:, :, :c1r], w1[:, :, c1r:]])[None]
+        w2p = pack_w3x3([w2])[None]
+        out = fused_double_conv_ct(
+            x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
+            w2p, jnp.ones((1, o)), jnp.zeros((1, o)),
+            h=h, w=w, th=8, c1=c1r, m=m, o=o,
+            x2=x2ct, c2=c2r, n2_images=n2, interpret=True)
+
+        scale = float(jnp.max(jnp.abs(ref_ct))) or 1.0
+        np.testing.assert_allclose(
+            out[:o].astype(np.float32), ref_ct.astype(np.float32),
+            atol=3e-2 * scale)
+
+
+class TestFastPathForward:
+    def test_matches_reference_forward(self):
+        cfg = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, compute_dtype="bfloat16")
+        params, state = mimo_unet_init(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (2, 2, 16, 256, 3))
+        ref, _ = mimo_unet_apply(params, state, x, cfg, train=False)
+        out, new_state = mimo_unet_apply_ct(
+            params, state, x, cfg, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-2 * scale)
+        # eval: state unchanged
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: bool(jnp.all(a == b)), new_state, state))
+
+    def test_eligibility_gates(self):
+        cfg = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, compute_dtype="bfloat16")
+        shape = (2, 2, 16, 256, 3)
+        on_tpu = jax.default_backend() == "tpu"
+        assert ct_fast_path_supported(
+            cfg, shape, train=False, mc_dropout=False) == on_tpu
+        force = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, compute_dtype="bfloat16",
+            ct_kernels="force")
+        assert ct_fast_path_supported(
+            force, shape, train=False, mc_dropout=False)
+        # train / mc-dropout / f32 / bad width all fall back
+        assert not ct_fast_path_supported(
+            force, shape, train=True, mc_dropout=False)
+        assert not ct_fast_path_supported(
+            force, shape, train=False, mc_dropout=True)
+        f32 = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, ct_kernels="force")
+        assert not ct_fast_path_supported(
+            f32, shape, train=False, mc_dropout=False)
+        assert not ct_fast_path_supported(
+            force, (2, 2, 16, 200, 3), train=False, mc_dropout=False)
