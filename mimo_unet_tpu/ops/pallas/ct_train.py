@@ -1,0 +1,695 @@
+"""Training-mode CT conv kernels with a custom VJP.
+
+Training cannot reuse the eval fused DoubleConv (ops/pallas/ct_conv.py):
+train-mode BatchNorm (reference components.py:24,27 -> torch BatchNorm2d
+training semantics, see ops/norm.py) normalizes each conv's output with
+*global batch* statistics, so the second conv cannot start until the first
+conv's full output statistics exist.  Instead each 3x3 conv is one kernel:
+
+  conv3x3_ct_train(x, wp, scale, shift) ->
+      (y_raw [Oa, N*H*W], sum [G, Oa, 1], sumsq [G, Oa, 1])
+
+  * optional prologue: z = relu(x*scale + shift) applied to the input slab
+    in VMEM (the previous conv's BatchNorm affine, whose scale/shift are
+    computed in XLA from that conv's returned statistics) — the normalized
+    activation never round-trips HBM;
+  * conv: the eval kernel's column build (3 aligned dy copies, reflect
+    fixes) + one big-K dot + rolled dx-plane combine, but *no* epilogue
+    affine — y_raw is the raw conv output (bias excluded; it folds into
+    the XLA-side statistics/affine math, which keeps the kernel linear in
+    w and x);
+  * per-group (subnetwork) sum / sum-of-squares accumulated across grid
+    tiles for the BatchNorm batch statistics.
+
+The custom VJP is two more kernels:
+
+  * dx: the transpose of reflect-pad + conv is a zero-pad "full" conv with
+    transposed taps plus *additive* reflect folds — the same masked-roll
+    machinery with two extra fold terms per axis (col build carries dy and
+    the H folds as in-column adds; dx-plane combine carries the W folds);
+    the prologue's relu/affine backward (and its dscale/dshift channel
+    reductions) fuse into the same kernel.
+  * dw: the forward column build (recomputing z from x) contracted against
+    three masked-roll variants of the cotangent over the huge flattened
+    lane axis (K = N*H*W per tile), accumulated per group.
+
+sum/sumsq are ordinary differentiable outputs: JAX feeds their cotangents
+back through the VJP (g_eff = dy + dsum + 2*y_raw*dsumsq), which is exactly
+the gradient path through the batch statistics that torch's BatchNorm
+training backward computes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mimo_unet_tpu.ops.pallas.ct_conv import (
+    align8,
+    _edge_masks,
+    _roll,
+    _use_interpret,
+    pack_w3x3,
+)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
+                      interpret):
+    """Single 3x3 reflect conv over th output rows; col part dy position
+    p (of th) holds input flat row i*th - 1 + dy + p."""
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    oa = align8(o)
+
+    def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
+        def z_of(v):
+            if not prologue:
+                return v
+            a = v.astype(jnp.float32) * sc[0:c] + sh[0:c]
+            return jnp.maximum(a, 0.0).astype(v.dtype)
+
+        @pl.when(jnp.logical_not(clamped))
+        def _():
+            for dy in range(3):
+                col[dy * cp + base:dy * cp + base + c] = z_of(
+                    x_ref[:, (3 + dy) * w:(3 + dy + th) * w])
+
+        @pl.when(clamped)
+        def _():
+            # slab row s = flat row s; part dy covers rows [dy-1, dy-1+th)
+            col[base:base + c, w:th * w] = z_of(x_ref[:, 0:(th - 1) * w])
+            col[cp + base:cp + base + c, 0:th * w] = z_of(x_ref[:, 0:th * w])
+            col[2 * cp + base:2 * cp + base + c, 0:th * w] = z_of(
+                x_ref[:, w:(th + 1) * w])
+
+        # input row -1 (part dy=0 position 0) -> reflect row 1
+        @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
+        def _():
+            col[base:base + c, 0:w] = z_of(x_ref[:, 5 * w:6 * w])
+
+        @pl.when(clamped)
+        def _():
+            col[base:base + c, 0:w] = z_of(x_ref[:, w:2 * w])
+
+        # input row H (part dy=2 position th-1) -> reflect row H-2
+        @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+                x_ref[:, (th + 2) * w:(th + 3) * w])
+
+        @pl.when(jnp.logical_and(last_img, clamped))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+                x_ref[:, (th - 2) * w:(th - 1) * w])
+
+    def kernel(*refs):
+        refs = list(refs)
+        x1_ref = refs.pop(0)
+        x2_ref = refs.pop(0) if c2 else None
+        w_ref, sc_ref, sh_ref, y_ref, sum_ref, ssq_ref, col, ys = refs
+        i = pl.program_id(0)
+        first_img = (i % tpi) == 0
+        last_img = (i % tpi) == tpi - 1
+
+        build(col, x1_ref, 0, c1, i == 0, first_img, last_img,
+              sc_ref, sh_ref)
+        if c1a > c1:
+            for dy in range(3):
+                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
+                    (c1a - c1, th * w), col.dtype)
+        if c2:
+            build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
+                  sc_ref, sh_ref)
+            if c2a > c2:
+                for dy in range(3):
+                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
+                        (c2a - c2, th * w), col.dtype)
+
+        ys[...] = jax.lax.dot_general(
+            w_ref[:], col[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        first, last = _edge_masks(w, th * w)
+        y0 = ys[0:o, :]
+        y1 = ys[oa:oa + o, :]
+        y2 = ys[2 * oa:2 * oa + o, :]
+        left = jnp.where(first, _roll(y0, -1, interpret),
+                         _roll(y0, 1, interpret))
+        right = jnp.where(last, _roll(y2, 1, interpret),
+                          _roll(y2, -1, interpret))
+        y = left + y1 + right
+        yc = y.astype(out_dtype)
+        y_ref[0:o, :] = yc
+        if oa > o:
+            y_ref[o:oa, :] = jnp.zeros((oa - o, th * w), out_dtype)
+
+        @pl.when((i % gt) == 0)
+        def _():
+            sum_ref[...] = jnp.zeros_like(sum_ref)
+            ssq_ref[...] = jnp.zeros_like(ssq_ref)
+
+        # statistics of the *cast* output (what the XLA BatchNorm reads)
+        yf = yc.astype(jnp.float32)
+        sum_ref[0:o, :] += jnp.sum(yf, axis=1, keepdims=True)
+        ssq_ref[0:o, :] += jnp.sum(yf * yf, axis=1, keepdims=True)
+
+    return kernel
+
+
+def _x_spec(c, th, w, period_tiles):
+    return pl.BlockSpec(
+        (pl.Element(c), pl.Element((th + 8) * w, padding=(0, 8 * w))),
+        lambda i: (0, pl.multiple_of(
+            jnp.maximum((i % period_tiles) * th - 4, 0) * w, 128)),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _gspec(shape, gt):
+    return pl.BlockSpec(
+        (None,) + shape, lambda i: (i // gt,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+
+def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
+              prologue, interpret):
+    total = x1.shape[1]
+    n_tiles = total // (w * th)
+    tpi = h // th
+    g = wp.shape[0]
+    gt = n_tiles // g
+    oa = align8(o)
+    c1a = align8(c1)
+    cp = c1a + (align8(c2) if c2 else 0)
+    bt2 = (n2_images * tpi) if c2 else 1
+    kern = _fwd_kernel_maker(
+        th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
+        prologue=prologue, out_dtype=x1.dtype, interpret=interpret)
+
+    in_specs = [_x_spec(c1, th, w, n_tiles)]
+    operands = [x1]
+    if c2:
+        in_specs.append(_x_spec(c2, th, w, bt2))
+        operands.append(x2)
+    in_specs += [
+        _gspec(wp.shape[1:], gt),
+        _gspec(scale.shape[1:], gt),
+        _gspec(shift.shape[1:], gt),
+    ]
+    operands += [wp.astype(x1.dtype), scale, shift]
+
+    y, s, q = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((oa, th * w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, oa, 1), lambda i: (i // gt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, oa, 1), lambda i: (i // gt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((oa, total), x1.dtype),
+            jax.ShapeDtypeStruct((g, oa, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g, oa, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3 * cp, th * w), x1.dtype),
+            pltpu.VMEM((3 * oa, th * w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return y, s[:, :o, 0], q[:, :o, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward: dx (+ prologue backward, dscale/dshift)
+
+
+def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
+                     interpret):
+    """dz = transpose of (reflect-pad + 3x3 conv) applied to g, then the
+    prologue's relu/affine backward.  g col part dy position p (of th+2)
+    holds g flat row i*th + p - dy (zero outside the image, with the
+    reflect folds added in-column)."""
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    oa = align8(o)
+    r1 = th + 2
+
+    def kernel(*refs):
+        refs = list(refs)
+        g_ref = refs.pop(0)
+        x1_ref = refs.pop(0) if prologue else None
+        wt_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref, col, ys = refs
+        i = pl.program_id(0)
+        first_img = (i % tpi) == 0
+        last_img = (i % tpi) == tpi - 1
+
+        # ---- col: g parts (generic slab row = 4 + p - dy)
+        @pl.when(i > 0)
+        def _():
+            for dy in range(3):
+                col[dy * oa:(dy + 1) * oa] = (
+                    g_ref[:, (4 - dy) * w:(4 - dy + r1) * w])
+
+        @pl.when(i == 0)
+        def _():
+            # clamped slab: slab row s = flat row s
+            col[0:oa, 0:r1 * w] = g_ref[:, 0:r1 * w]
+            col[oa:2 * oa, w:r1 * w] = g_ref[:, 0:(r1 - 1) * w]
+            col[2 * oa:3 * oa, 2 * w:r1 * w] = g_ref[:, 0:(r1 - 2) * w]
+
+        # zero-pad edges: g rows outside this image contribute nothing
+        @pl.when(first_img)
+        def _():
+            col[oa:2 * oa, 0:w] = jnp.zeros((oa, w), col.dtype)    # dy=1 p=0
+            col[2 * oa:3 * oa, 0:2 * w] = jnp.zeros((oa, 2 * w),
+                                                    col.dtype)     # dy=2 p<2
+
+        @pl.when(last_img)
+        def _():
+            col[0:oa, th * w:r1 * w] = jnp.zeros((oa, 2 * w), col.dtype)
+            col[oa:2 * oa, (th + 1) * w:r1 * w] = jnp.zeros((oa, w),
+                                                            col.dtype)
+
+        # reflect folds (H): dz row 1 += w[0]^T g[row 0]; row H-2 += w[2]^T
+        # g[row H-1] -> in-column adds at part0 p=2 / part2 p=th-1
+        @pl.when(jnp.logical_and(first_img, i > 0))
+        def _():
+            col[0:oa, 2 * w:3 * w] += g_ref[:, 4 * w:5 * w]
+
+        @pl.when(i == 0)
+        def _():
+            col[0:oa, 2 * w:3 * w] += g_ref[:, 0:w]
+
+        @pl.when(jnp.logical_and(last_img, i > 0))
+        def _():
+            col[2 * oa:3 * oa, (th - 1) * w:th * w] += (
+                g_ref[:, (th + 3) * w:(th + 4) * w])
+
+        @pl.when(jnp.logical_and(last_img, i == 0))
+        def _():
+            col[2 * oa:3 * oa, (th - 1) * w:th * w] += (
+                g_ref[:, (th - 1) * w:th * w])
+
+        ys[...] = jax.lax.dot_general(
+            wt_ref[:], col[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # ---- W combine with zero edges + reflect folds, on full planes
+        first, last = _edge_masks(w, r1 * w)
+        is1 = _col_eq(w, r1 * w, 1)
+        isw2 = _col_eq(w, r1 * w, w - 2)
+        zero = jnp.zeros((1, 1), jnp.float32)
+        v0 = ys[0:cp, :]
+        v1 = ys[cp:2 * cp, :]
+        v2 = ys[2 * cp:3 * cp, :]
+        dz_full = (
+            jnp.where(last, zero, _roll(v0, -1, interpret))
+            + v1
+            + jnp.where(first, zero, _roll(v2, 1, interpret))
+            + jnp.where(is1, _roll(v0, 1, interpret), zero)
+            + jnp.where(isw2, _roll(v2, -1, interpret), zero)
+        )
+        dz = dz_full[:, w:(th + 1) * w]
+
+        if prologue:
+            xv = x1_ref[...].astype(jnp.float32)
+            a = xv * sc_ref[0:cp] + sh_ref[0:cp]
+            mask = a > 0.0
+            da = jnp.where(mask, dz, 0.0)
+            dx_ref[...] = (da * sc_ref[0:cp]).astype(out_dtype)
+
+            @pl.when((i % gt) == 0)
+            def _():
+                dsc_ref[...] = jnp.zeros_like(dsc_ref)
+                dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+            dsc_ref[...] += jnp.sum(da * xv, axis=1, keepdims=True)
+            dsh_ref[...] += jnp.sum(da, axis=1, keepdims=True)
+        else:
+            dx_ref[...] = dz.astype(out_dtype)
+
+            @pl.when(i == 0)
+            def _():
+                dsc_ref[...] = jnp.zeros_like(dsc_ref)
+                dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+    return kernel
+
+
+def _col_eq(w, lanes, value):
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    if w & (w - 1) == 0:
+        return (j & (w - 1)) == value
+    return jax.lax.rem(j, w) == value
+
+
+def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
+             interpret, out_dtype):
+    """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift)."""
+    total = g.shape[1]
+    n_tiles = total // (w * th)
+    tpi = h // th
+    grp = wtp.shape[0]
+    gt = n_tiles // grp
+    c1a = align8(c1)
+    cp = c1a + (align8(c2) if c2 else 0)
+    oa = align8(o)
+    kern = _dx_kernel_maker(
+        th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=1, gt=gt,
+        prologue=prologue, out_dtype=out_dtype, interpret=interpret)
+
+    in_specs = [_x_spec(oa, th, w, n_tiles)]
+    operands = [g]
+    if prologue:
+        in_specs.append(pl.BlockSpec((cp, th * w), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        operands.append(x1)
+    in_specs += [
+        _gspec(wtp.shape[1:], gt),
+        _gspec(scale.shape[1:], gt),
+        _gspec(shift.shape[1:], gt),
+    ]
+    operands += [wtp.astype(g.dtype), scale, shift]
+
+    dx, dsc, dsh = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((cp, th * w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cp, 1), lambda i: (i // gt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cp, 1), lambda i: (i // gt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((cp, total), out_dtype),
+            jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
+            pltpu.VMEM((3 * cp, (th + 2) * w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dx, dsc[..., 0], dsh[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# backward: dw
+
+
+def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    oa = align8(o)
+
+    def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
+        def z_of(v):
+            if not prologue:
+                return v
+            a = v.astype(jnp.float32) * sc[0:c] + sh[0:c]
+            return jnp.maximum(a, 0.0).astype(v.dtype)
+
+        @pl.when(jnp.logical_not(clamped))
+        def _():
+            for dy in range(3):
+                col[dy * cp + base:dy * cp + base + c] = z_of(
+                    x_ref[:, (3 + dy) * w:(3 + dy + th) * w])
+
+        @pl.when(clamped)
+        def _():
+            col[base:base + c, w:th * w] = z_of(x_ref[:, 0:(th - 1) * w])
+            col[cp + base:cp + base + c, 0:th * w] = z_of(x_ref[:, 0:th * w])
+            col[2 * cp + base:2 * cp + base + c, 0:th * w] = z_of(
+                x_ref[:, w:(th + 1) * w])
+
+        @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
+        def _():
+            col[base:base + c, 0:w] = z_of(x_ref[:, 5 * w:6 * w])
+
+        @pl.when(clamped)
+        def _():
+            col[base:base + c, 0:w] = z_of(x_ref[:, w:2 * w])
+
+        @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+                x_ref[:, (th + 2) * w:(th + 3) * w])
+
+        @pl.when(jnp.logical_and(last_img, clamped))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+                x_ref[:, (th - 2) * w:(th - 1) * w])
+
+    def kernel(*refs):
+        refs = list(refs)
+        x1_ref = refs.pop(0)
+        x2_ref = refs.pop(0) if c2 else None
+        g_ref, sc_ref, sh_ref, dw_ref, col, gv = refs
+        i = pl.program_id(0)
+        first_img = (i % tpi) == 0
+        last_img = (i % tpi) == tpi - 1
+
+        build(col, x1_ref, 0, c1, i == 0, first_img, last_img,
+              sc_ref, sh_ref)
+        if c1a > c1:
+            for dy in range(3):
+                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
+                    (c1a - c1, th * w), col.dtype)
+        if c2:
+            build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
+                  sc_ref, sh_ref)
+            if c2a > c2:
+                for dy in range(3):
+                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
+                        (c2a - c2, th * w), col.dtype)
+
+        # the three dx-variants of g (transpose of the forward W-combine)
+        gval = g_ref[...].astype(jnp.float32)
+        first, last = _edge_masks(w, th * w)
+        is1 = _col_eq(w, th * w, 1)
+        isw2 = _col_eq(w, th * w, w - 2)
+        zero = jnp.zeros((1, 1), jnp.float32)
+        g0 = (jnp.where(last, zero, _roll(gval, -1, interpret))
+              + jnp.where(is1, _roll(gval, 1, interpret), zero))
+        g2 = (jnp.where(first, zero, _roll(gval, 1, interpret))
+              + jnp.where(isw2, _roll(gval, -1, interpret), zero))
+        gv[0:oa, :] = g0.astype(gv.dtype)
+        gv[oa:2 * oa, :] = gval.astype(gv.dtype)
+        gv[2 * oa:3 * oa, :] = g2.astype(gv.dtype)
+
+        @pl.when((i % gt) == 0)
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+
+        # dw[dy, dx] += col_part_dy . g_variant_dx over the lane axis
+        dw_ref[...] += jax.lax.dot_general(
+            col[...], gv[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
+             prologue, interpret):
+    """Returns dwp [G, 3cp, 3oa] f32 (packed layout, same as pack_w3x3...
+    but with dx blocks along columns in units of align8(o))."""
+    total = g.shape[1]
+    n_tiles = total // (w * th)
+    tpi = h // th
+    c1a = align8(c1)
+    cp = c1a + (align8(c2) if c2 else 0)
+    oa = align8(o)
+    grp = scale.shape[0]
+    gt = n_tiles // grp
+    bt2 = (n2_images * tpi) if c2 else 1
+    kern = _dw_kernel_maker(
+        th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
+        prologue=prologue, interpret=interpret)
+
+    in_specs = [_x_spec(c1, th, w, n_tiles)]
+    operands = [x1]
+    if c2:
+        in_specs.append(_x_spec(c2, th, w, bt2))
+        operands.append(x2)
+    in_specs += [
+        pl.BlockSpec((oa, th * w), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        _gspec(scale.shape[1:], gt),
+        _gspec(shift.shape[1:], gt),
+    ]
+    operands += [g, scale, shift]
+
+    dwp = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, 3 * cp, 3 * oa),
+                               lambda i: (i // gt, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grp, 3 * cp, 3 * oa), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3 * cp, th * w), x1.dtype),
+            pltpu.VMEM((3 * oa, th * w), x1.dtype),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dwp
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP composite
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def conv3x3_ct_train(x1, x2, wp, scale, shift,
+                     h, w, th, c1, c2, o, n2_images, interpret):
+    """Differentiable train-mode CT conv (see module docstring).
+
+    x1 [c1, N*H*W] bf16; x2 optional [c2, N2*H*W] (period N2) or None;
+    wp [G, 3*cp, 3*align8(o)] packed (pack_w3x3, concat-order blocks);
+    scale/shift [G, cp, 1] f32 prologue affine (pass scale=None for no
+    prologue).  Returns (y_raw [align8(o), N*H*W], sum [G, o], sumsq
+    [G, o]).
+    """
+    prologue = scale is not None
+    if scale is None:
+        cp = align8(c1) + (align8(c2) if c2 else 0)
+        g = wp.shape[0]
+        scale = jnp.ones((g, cp, 1), jnp.float32)
+        shift = jnp.zeros((g, cp, 1), jnp.float32)
+    return _conv_fwd(x1, x2, wp, scale, shift, h=h, w=w, th=th, c1=c1,
+                     c2=c2, o=o, n2_images=n2_images, prologue=prologue,
+                     interpret=interpret)
+
+
+def _train_fwd_rule(x1, x2, wp, scale, shift,
+                    h, w, th, c1, c2, o, n2_images, interpret):
+    out = conv3x3_ct_train(x1, x2, wp, scale, shift,
+                           h, w, th, c1, c2, o, n2_images, interpret)
+    return out, (x1, x2, wp, scale, shift, out[0])
+
+
+def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
+                    res, cot):
+    x1, x2, wp, scale, shift, y_raw = res
+    dy, dsum, dssq = cot
+    prologue = scale is not None
+    grp = wp.shape[0]
+    oa = align8(o)
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    total = x1.shape[1]
+    n_per_g = total // grp  # lanes per group
+
+    # fold the statistics cotangents into the conv-output cotangent:
+    # sum = SUM y, sumsq = SUM y^2  =>  g_eff = dy + dsum + 2*y*dsumsq
+    # (group-blocked broadcast along the lane axis)
+    yf = y_raw[:o].astype(jnp.float32)
+    ds_b = jnp.broadcast_to(
+        dsum.astype(jnp.float32).T[:, :, None],
+        (o, grp, n_per_g)).reshape(o, total)
+    dq_b = jnp.broadcast_to(
+        dssq.astype(jnp.float32).T[:, :, None],
+        (o, grp, n_per_g)).reshape(o, total)
+    g_eff = (dy[:o].astype(jnp.float32) + ds_b + 2.0 * yf * dq_b)
+    g_eff = g_eff.astype(x1.dtype)
+    if oa > o:
+        g_eff = jnp.concatenate(
+            [g_eff, jnp.zeros((oa - o, total), g_eff.dtype)], axis=0)
+
+    if scale is None:
+        scale_k = jnp.ones((grp, cp, 1), jnp.float32)
+        shift_k = jnp.zeros((grp, cp, 1), jnp.float32)
+    else:
+        scale_k, shift_k = scale, shift
+
+    # transposed packed weights [G, 3oa, 3cp]: block (dy, dxw) = w[dy,dxw]^T
+    def transpose_pack(wg):
+        out = jnp.zeros((3 * oa, 3 * cp), wg.dtype)
+        for dy in range(3):
+            for dxw in range(3):
+                blk = wg[dy * cp:(dy + 1) * cp, dxw * oa:(dxw + 1) * oa]
+                out = out.at[dy * oa:(dy + 1) * oa,
+                             dxw * cp:(dxw + 1) * cp].set(blk.T)
+        return out
+
+    wtp = jnp.stack([transpose_pack(wp[g]) for g in range(grp)])
+
+    # x for the dx kernel's prologue backward: the concat input as one
+    # [cp, total] array (x2 tiled); only needed when a prologue exists
+    if prologue:
+        if c2 is not None and c2:
+            reps = total // x2.shape[1]
+            x2_full = jnp.tile(x2, (1, reps))
+            xcat = jnp.concatenate([
+                _pad_rows(x1, c1a), _pad_rows(x2_full, c2a)], axis=0)
+        else:
+            xcat = _pad_rows(x1, cp)
+    else:
+        xcat = None
+
+    dxcat, dsc, dsh = _conv_dx(
+        g_eff, xcat, wtp, scale_k, shift_k, h=h, w=w, th=min(th, 16),
+        c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
+        out_dtype=x1.dtype)
+
+    dwp = _conv_dw(
+        g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=min(th, 16),
+        c1=c1, c2=c2, o=o, n2_images=n2_images, prologue=prologue,
+        interpret=interpret)
+    # dw in packed layout: columns are in units of oa; wp columns are in
+    # units of align8(o) == oa with 3 dx blocks — same layout; cast to wp
+    dwp = dwp.astype(wp.dtype)
+
+    dx1 = dxcat[:c1]
+    if c2:
+        n2_total = x2.shape[1]
+        reps = total // n2_total
+        dx2 = dxcat[c1a:c1a + c2].reshape(c2, reps, n2_total).sum(axis=1)
+        dx2 = dx2.astype(x2.dtype)
+    else:
+        dx2 = None
+    if prologue:
+        dscale = dsc[:, :, None].astype(scale.dtype)
+        dshift = dsh[:, :, None].astype(shift.dtype)
+    else:
+        dscale = None
+        dshift = None
+    return (dx1.astype(x1.dtype), dx2, dwp, dscale, dshift)
+
+
+def _pad_rows(x, n):
+    c = x.shape[0]
+    if c == n:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((n - c, x.shape[1]), x.dtype)], axis=0)
+
+
+conv3x3_ct_train.defvjp(_train_fwd_rule, _train_bwd_rule)
