@@ -417,15 +417,11 @@ def mimo_unet_apply_ct_train(
         s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
 
     # skip connection + pool input: z2 = relu(affine2(y2)), group-blocked
+    from mimo_unet_tpu.ops.pallas.ct_elem import affine_relu_ct
+
     def apply_affine(y, sc, sh, c_real):
-        yg = y[:c_real].reshape(c_real, s, -1).astype(jnp.float32)
-        z = yg * sc.T[:, :, None] + sh.T[:, :, None]
-        z = jnp.maximum(z, 0.0).astype(cdt).reshape(c_real, -1)
-        if align8(c_real) > c_real:
-            z = jnp.concatenate(
-                [z, jnp.zeros((align8(c_real) - c_real, z.shape[1]), cdt)],
-                axis=0)
-        return z
+        return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
+                              interpret)
 
     x1s = apply_affine(y2, sc2, sh2, f)  # [fa, n*h*w]
     h2, w2 = h // 2, w // 2

@@ -1,0 +1,152 @@
+"""Elementwise CT-layout helper kernels with per-group channel parameters.
+
+The train path needs two group-blocked elementwise maps over [C, N*H*W]
+activations (N group-major):
+
+  * affine_relu_ct: z = relu(y * scale_g + shift_g)   (+ custom VJP)
+  * g_eff_ct:       g = dy + dsum_g + 2 * y * dsumsq_g
+
+In XLA, selecting the per-group parameters requires reshaping the lane
+axis to [C, G, N/G*H*W], which forces full-tensor relayouts (measured 46
+ms / 18 ms per call at B=64 — experiments/exp_glue_time.py).  As Pallas
+kernels the group index is just a BlockSpec index map and both run at
+memory speed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret, align8
+
+
+def _block_lanes(total: int, groups: int) -> int:
+    per_g = total // groups
+    bl = 1 << 17
+    while bl > 128 and per_g % bl:
+        bl >>= 1
+    return bl
+
+
+def _gparam_spec(shape, bpg):
+    return pl.BlockSpec(
+        (None,) + shape, lambda i: (i // bpg,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+
+
+def _elem_call(kern, operands, gparams, out_shapes, total, groups,
+               rows_list, interpret, n_stats=0, stats_rows=0, bpg_out=None):
+    """Run ``kern`` over column blocks; operands are [rows, total] arrays,
+    gparams [G, k, 1] per-group columns; optional accumulated stats
+    outputs [G, stats_rows, 1]."""
+    bl = _block_lanes(total, groups)
+    n_blocks = total // bl
+    bpg = n_blocks // groups
+    in_specs = [
+        pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for r in rows_list
+    ] + [_gparam_spec(p.shape[1:], bpg) for p in gparams]
+    out_specs = []
+    out_sh = []
+    for r, dt in out_shapes:
+        out_specs.append(pl.BlockSpec((r, bl), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_sh.append(jax.ShapeDtypeStruct((r, total), dt))
+    for _ in range(n_stats):
+        out_specs.append(pl.BlockSpec(
+            (None, stats_rows, 1), lambda i: (i // bpg, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_sh.append(jax.ShapeDtypeStruct((groups, stats_rows, 1),
+                                           jnp.float32))
+    return pl.pallas_call(
+        functools.partial(kern, bpg=bpg),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_sh) if len(out_sh) > 1 else out_sh[0],
+        interpret=interpret,
+    )(*operands, *gparams)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def affine_relu_ct(y, scale, shift, c_real, groups, interpret):
+    """[Ca, total] bf16, scale/shift [G, c_real, 1] f32 ->
+    relu(y*scale + shift) with zero pad rows."""
+    ca = y.shape[0]
+
+    def kern(y_ref, sc_ref, sh_ref, z_ref, *, bpg):
+        a = (y_ref[0:c_real, :].astype(jnp.float32) * sc_ref[0:c_real]
+             + sh_ref[0:c_real])
+        z_ref[0:c_real, :] = jnp.maximum(a, 0.0).astype(z_ref.dtype)
+        if ca > c_real:
+            z_ref[c_real:ca, :] = jnp.zeros(
+                (ca - c_real, z_ref.shape[1]), z_ref.dtype)
+
+    return _elem_call(kern, [y], [scale, shift], [(ca, y.dtype)],
+                      y.shape[1], groups, [ca], interpret)
+
+
+def _affine_relu_fwd(y, scale, shift, c_real, groups, interpret):
+    z = affine_relu_ct(y, scale, shift, c_real, groups, interpret)
+    return z, (y, scale, shift)
+
+
+def _affine_relu_bwd(c_real, groups, interpret, res, dz):
+    y, scale, shift = res
+    ca = y.shape[0]
+
+    def kern(dz_ref, y_ref, sc_ref, sh_ref, dy_ref, dsc_ref, dsh_ref, *,
+             bpg):
+        i = pl.program_id(0)
+        yv = y_ref[0:c_real, :].astype(jnp.float32)
+        a = yv * sc_ref[0:c_real] + sh_ref[0:c_real]
+        da = jnp.where(a > 0.0, dz_ref[0:c_real, :].astype(jnp.float32), 0.0)
+        dy_ref[0:c_real, :] = (da * sc_ref[0:c_real]).astype(dy_ref.dtype)
+        if ca > c_real:
+            dy_ref[c_real:ca, :] = jnp.zeros(
+                (ca - c_real, dy_ref.shape[1]), dy_ref.dtype)
+
+        @pl.when((i % bpg) == 0)
+        def _():
+            dsc_ref[...] = jnp.zeros_like(dsc_ref)
+            dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+        dsc_ref[0:c_real, :] += jnp.sum(da * yv, axis=1, keepdims=True)
+        dsh_ref[0:c_real, :] += jnp.sum(da, axis=1, keepdims=True)
+
+    dy, dsc, dsh = _elem_call(
+        kern, [dz, y], [scale, shift], [(ca, y.dtype)],
+        y.shape[1], groups, [ca, ca], interpret,
+        n_stats=2, stats_rows=scale.shape[1])
+    return dy, dsc, dsh
+
+
+affine_relu_ct.defvjp(_affine_relu_fwd, _affine_relu_bwd)
+
+
+def g_eff_ct(dy, y, dsum, dsumsq, o_real, groups, interpret=None):
+    """[Oa, total] cotangent fold: dy + dsum_g + 2*y*dsumsq_g (pad rows
+    zero).  Plain function — used inside custom-VJP backward rules."""
+    if interpret is None:
+        interpret = _use_interpret()
+    oa = y.shape[0]
+    ds = dsum.astype(jnp.float32)[..., None]
+    dq = dsumsq.astype(jnp.float32)[..., None]
+
+    def kern(dy_ref, y_ref, ds_ref, dq_ref, g_ref, *, bpg):
+        g = (dy_ref[0:o_real, :].astype(jnp.float32) + ds_ref[0:o_real]
+             + 2.0 * y_ref[0:o_real, :].astype(jnp.float32)
+             * dq_ref[0:o_real])
+        g_ref[0:o_real, :] = g.astype(g_ref.dtype)
+        if oa > o_real:
+            g_ref[o_real:oa, :] = jnp.zeros(
+                (oa - o_real, g_ref.shape[1]), g_ref.dtype)
+
+    return _elem_call(kern, [dy, y], [ds, dq], [(oa, y.dtype)],
+                      y.shape[1], groups, [oa, oa], interpret)

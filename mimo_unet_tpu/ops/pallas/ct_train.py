@@ -609,19 +609,11 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
 
     # fold the statistics cotangents into the conv-output cotangent:
     # sum = SUM y, sumsq = SUM y^2  =>  g_eff = dy + dsum + 2*y*dsumsq
-    # (group-blocked broadcast along the lane axis)
-    yf = y_raw[:o].astype(jnp.float32)
-    ds_b = jnp.broadcast_to(
-        dsum.astype(jnp.float32).T[:, :, None],
-        (o, grp, n_per_g)).reshape(o, total)
-    dq_b = jnp.broadcast_to(
-        dssq.astype(jnp.float32).T[:, :, None],
-        (o, grp, n_per_g)).reshape(o, total)
-    g_eff = (dy[:o].astype(jnp.float32) + ds_b + 2.0 * yf * dq_b)
-    g_eff = g_eff.astype(x1.dtype)
-    if oa > o:
-        g_eff = jnp.concatenate(
-            [g_eff, jnp.zeros((oa - o, total), g_eff.dtype)], axis=0)
+    # (group-blocked; Pallas — the XLA reshape/broadcast form relayouts
+    # the whole tensor, experiments/exp_glue_time.py)
+    from mimo_unet_tpu.ops.pallas.ct_elem import g_eff_ct
+
+    g_eff = g_eff_ct(dy, y_raw, dsum, dssq, o, grp, interpret)
 
     if scale is None:
         scale_k = jnp.ones((grp, cp, 1), jnp.float32)
