@@ -10,6 +10,13 @@ Rebuilt from reference mimo/models/ensemble.py:35-115:
     predictions concatenate on the subnetwork axis,
   * return raw (p1, p2) or the uncertainty decomposition.
 
+TPU-first serving shape (vs the reference's Python loops, ensemble.py:95-105):
+MC passes fold into the batch axis of ONE forward (dropout masks are drawn
+per sample, so a tiled batch yields independent MC samples), and
+consecutive same-architecture members run as ONE vmapped program over
+stacked parameter pytrees — members x passes execute as a single fused
+XLA computation instead of M*mc sequential dispatches.
+
 Reference quirks intentionally NOT reproduced (SURVEY.md §7): predictions
 stay on device (the reference's per-pass ``.cpu()`` breaks FGSM-through-
 ensemble autograd, ensemble.py:101-102), and labels repeat to the actual
@@ -56,6 +63,38 @@ class Ensemble:
             self._build_member_fn(task, mc) for task, _, _ in self.members
         ]
 
+        # consecutive same-architecture members -> one vmapped program over
+        # stacked params (concat order preserved: runs are consecutive)
+        self._runs = []
+        i = 0
+        while i < len(self.members):
+            sig = self._signature(self.members[i][0])
+            j = i + 1
+            while j < len(self.members) and self._signature(
+                    self.members[j][0]) == sig:
+                j += 1
+            self._runs.append((i, j))
+            i = j
+        self._stacked = {}
+        for start, end in self._runs:
+            if end - start > 1:
+                task = self.members[start][0]
+                params = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[self.members[k][1] for k in range(start, end)])
+                mstate = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[self.members[k][2] for k in range(start, end)])
+                self._stacked[start] = (
+                    self._build_stacked_fn(task, mc, end - start),
+                    params, mstate)
+
+    @staticmethod
+    def _signature(task):
+        import dataclasses
+        return (dataclasses.replace(task.model_config, ct_kernels="off"),
+                task.loss)
+
     @property
     def num_subnetworks(self) -> int:
         """Total subnetworks across members (reference ensemble.py:68-70).
@@ -66,22 +105,56 @@ class Ensemble:
     def output_width(self) -> int:
         return self.num_subnetworks * max(1, self.monte_carlo_steps)
 
-    def _build_member_fn(self, task, mc: int):
+    def _member_fn_body(self, task, mc: int):
+        """MC passes folded into the batch: dropout masks are per-sample
+        (ops/dropout.py), so a tiled batch is mc independent samples in one
+        forward — the prediction axis stays mc-major per member, matching
+        the reference's per-pass concat order (ensemble.py:99-105)."""
         mc_dropout = self.monte_carlo_steps > 0
 
         def member_fn(params, model_state, image, rng):
+            b = image.shape[0]
             x = repeat_subnetworks(image, task.num_subnetworks)
-            p1s, p2s = [], []
-            for i in range(mc):
-                (p1, p2), _ = task.forward(
-                    params, model_state, x, train=False,
-                    rng=jax.random.fold_in(rng, i), mc_dropout=mc_dropout,
-                )
-                p1s.append(p1)
-                p2s.append(p2)
-            return jnp.concatenate(p1s, axis=1), jnp.concatenate(p2s, axis=1)
+            if mc > 1:
+                x = jnp.concatenate([x] * mc, axis=0)
+            (p1, p2), _ = task.forward(
+                params, model_state, x, train=False, rng=rng,
+                mc_dropout=mc_dropout,
+            )
+            if mc > 1:
+                def fold(p):
+                    p = p.reshape((mc, b) + p.shape[1:])
+                    return jnp.moveaxis(p, 0, 1).reshape(
+                        (b, mc * p.shape[2]) + p.shape[3:])
+                p1, p2 = fold(p1), fold(p2)
+            return p1, p2
 
-        return jax.jit(member_fn)
+        return member_fn
+
+    def _build_member_fn(self, task, mc: int):
+        return jax.jit(self._member_fn_body(task, mc))
+
+    def _build_stacked_fn(self, task, mc: int, n_members: int):
+        """One program for a run of same-architecture members: vmap the
+        member forward over stacked parameter pytrees.  The Pallas eval
+        fast path is disabled inside the vmap (its kernels assume an
+        unbatched grid); XLA batches the member axis instead."""
+        import dataclasses
+
+        task_off = dataclasses.replace(task, ct_kernels="off")
+        body = self._member_fn_body(task_off, mc)
+        vm = jax.vmap(body, in_axes=(0, 0, None, 0))
+
+        def stacked_fn(params, mstate, image, rng):
+            rngs = jax.random.split(rng, n_members)
+            p1, p2 = vm(params, mstate, image, rngs)  # [M, B, mc*S, ...]
+            p1 = jnp.moveaxis(p1, 0, 1).reshape(
+                (p1.shape[1], -1) + p1.shape[3:])
+            p2 = jnp.moveaxis(p2, 0, 1).reshape(
+                (p2.shape[1], -1) + p2.shape[3:])
+            return p1, p2
+
+        return jax.jit(stacked_fn)
 
     def raw_forward(
         self, image: jax.Array, rng: Optional[jax.Array] = None
@@ -90,12 +163,20 @@ class Ensemble:
         if rng is None:
             rng = jax.random.key(0)
         p1s, p2s = [], []
-        for m, (fn, (task, params, model_state)) in enumerate(
-            zip(self._member_fns, self.members)
-        ):
-            p1, p2 = fn(params, model_state, image, jax.random.fold_in(rng, m))
-            p1s.append(p1)
-            p2s.append(p2)
+        for start, end in self._runs:
+            if start in self._stacked:
+                fn, params, mstate = self._stacked[start]
+                p1, p2 = fn(params, mstate, image,
+                            jax.random.fold_in(rng, start))
+                p1s.append(p1)
+                p2s.append(p2)
+                continue
+            for m in range(start, end):
+                task, params, model_state = self.members[m]
+                p1, p2 = self._member_fns[m](
+                    params, model_state, image, jax.random.fold_in(rng, m))
+                p1s.append(p1)
+                p2s.append(p2)
         return jnp.concatenate(p1s, axis=1), jnp.concatenate(p2s, axis=1)
 
     def __call__(self, image: jax.Array, rng: Optional[jax.Array] = None):

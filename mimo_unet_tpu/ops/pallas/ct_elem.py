@@ -26,10 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret, align8
 
 
-def _block_lanes(total: int, groups: int) -> int:
+def _block_lanes(total: int, groups: int, rows: int) -> int:
+    """Largest power-of-two lane block that divides the per-group extent
+    and keeps all double-buffered operands within ~8 MB of VMEM."""
     per_g = total // groups
+    budget = 8 * 2 ** 20
     bl = 1 << 17
-    while bl > 128 and per_g % bl:
+    while bl > 128 and (per_g % bl or rows * bl * 2 * 6 > budget):
         bl >>= 1
     return bl
 
@@ -45,7 +48,7 @@ def _elem_call(kern, operands, gparams, out_shapes, total, groups,
     """Run ``kern`` over column blocks; operands are [rows, total] arrays,
     gparams [G, k, 1] per-group columns; optional accumulated stats
     outputs [G, stats_rows, 1]."""
-    bl = _block_lanes(total, groups)
+    bl = _block_lanes(total, groups, max(rows_list))
     n_blocks = total // bl
     bpg = n_blocks // groups
     in_specs = [
