@@ -342,12 +342,26 @@ def _max_pool_ct_fwd(x4):
     return y, (x4, y)
 
 
+def _up2_ct(v):
+    """[C, N, H2, W2] -> [C, N, 2*H2, 2*W2] nearest-up via exact 0/1
+    selection matmuls (the reshape/broadcast form relayouts the tensor)."""
+    import numpy as np
+
+    c, n, h2, w2 = v.shape
+    eh = np.zeros((h2, 2 * h2), np.float32)
+    eh[np.arange(h2), 2 * np.arange(h2)] = 1.0
+    eh[np.arange(h2), 2 * np.arange(h2) + 1] = 1.0
+    ew = np.zeros((w2, 2 * w2), np.float32)
+    ew[np.arange(w2), 2 * np.arange(w2)] = 1.0
+    ew[np.arange(w2), 2 * np.arange(w2) + 1] = 1.0
+    out = jnp.einsum("cnHW,Hh->cnhW", v, jnp.asarray(eh, v.dtype))
+    return jnp.einsum("cnhW,Ww->cnhw", out, jnp.asarray(ew, v.dtype))
+
+
 def _max_pool_ct_bwd(res, g):
     x4, y = res
-    c, n, h, w = x4.shape
-    xw = x4.reshape(c, n, h // 2, 2, w // 2, 2)
-    mask = (xw == y[:, :, :, None, :, None]).astype(g.dtype)
-    gx = (mask * g[:, :, :, None, :, None]).reshape(c, n, h, w)
+    mask = (x4 == _up2_ct(y)).astype(g.dtype)
+    gx = mask * _up2_ct(g)
     return (gx,)
 
 
@@ -496,14 +510,16 @@ def mimo_unet_apply_ct_train(
     z6 = apply_affine(y6, sc6, sh6, f)  # [fa, n*h*w]
 
     # ---- out conv (1x1, per group) ------------------------------------------
+    from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_ct
+
     outc = dec_p["outc"]
     oc = outc["w"].shape[4]
-    z6g = z6[:f].reshape(f, s, -1)
-    logits_ct = jnp.einsum(
-        "fsn,sfo->osn", z6g, outc["w"][:, 0, 0].astype(cdt))
-    logits_ct = logits_ct + outc["b"].T.astype(cdt)[:, :, None]
+    oca = align8(oc)
+    wo = jnp.zeros((s, f, oca)).at[:, :, :oc].set(outc["w"][:, 0, 0])
+    bo = jnp.zeros((s, oca, 1)).at[:, :oc, 0].set(outc["b"])
+    logits_ct = conv1x1_ct(z6, wo, bo, f, s, interpret)  # [oca, n*h*w]
 
-    logits = logits_ct.reshape(oc, s, b, h, w)
+    logits = logits_ct[:oc].reshape(oc, s, b, h, w)
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
 
     new_state = {
