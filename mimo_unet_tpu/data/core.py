@@ -61,6 +61,25 @@ class ArrayDataset:
         return ArrayDataset({k: fn(k, v) for k, v in self.data.items()})
 
 
+def device_normalize(batch: Batch) -> Batch:
+    """Normalize uint8 batch entries to [0, 1] float32 on device.
+
+    TPU-first input staging: datasets may keep host arrays as uint8
+    (4x less host memory, host copy and H2D transfer than float32 — the
+    host is single-core on this testbed and dominates the step time at
+    full frame sizes, experiments/exp_pipeline_overlap.py); the /255
+    lands on-device inside the jitted step.  float arrays pass through
+    unchanged, so the default float32 pipeline is unaffected.
+    """
+    import jax.numpy as jnp
+
+    return {
+        k: (v.astype(jnp.float32) / 255.0
+            if v is not None and v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
+
+
 def iterate_batches(
     dataset: ArrayDataset,
     batch_size: int,

@@ -30,7 +30,14 @@ def load_nyuv2_depth(
     shuffle_on_load: bool = False,
     use_fraction: float = 1.0,
     seed: Optional[int] = None,
+    host_dtype: str = "float32",
 ) -> ArrayDataset:
+    """``host_dtype="uint8"`` (TPU extension, requires ``normalize``): keep
+    the raw uint8 arrays on the host; the /255 runs on-device inside the
+    jitted step (data/core.py device_normalize).  4x less host RAM, host
+    copy and H2D transfer — on this single-core host the float32 batch
+    assembly otherwise dominates the step time
+    (experiments/exp_pipeline_overlap.py)."""
     import h5py
 
     with h5py.File(dataset_path, "r") as h5:
@@ -44,6 +51,15 @@ def load_nyuv2_depth(
     if use_fraction < 1.0:
         perm = rng.choice(perm, size=int(len(image) * use_fraction), replace=False)
     image, label = image[perm], label[perm]
+
+    if host_dtype == "uint8":
+        if not normalize:
+            raise ValueError("host_dtype='uint8' implies normalize=True")
+        image = image.astype(np.uint8)
+        label_u8 = label.astype(np.uint8)
+        if label_u8.ndim == 3:
+            label_u8 = label_u8[..., None]
+        return ArrayDataset({"image": image, "label": label_u8})
 
     image = image.astype(np.float32)
     if normalize:
@@ -62,12 +78,14 @@ class NYUv2DepthDataModule(DataModule):
         normalize: bool = True,
         train_dataset_fraction: float = 1.0,
         seed: Optional[int] = None,
+        host_dtype: str = "float32",
     ):
         self.dataset_dir = dataset_dir
         self.batch_size = batch_size
         self.normalize = normalize
         self.train_dataset_fraction = train_dataset_fraction
         self.seed = seed
+        self.host_dtype = host_dtype
         self._train = self._val = self._test = None
 
     def setup(self) -> None:
@@ -79,6 +97,7 @@ class NYUv2DepthDataModule(DataModule):
             shuffle_on_load=False,
             use_fraction=self.train_dataset_fraction,
             seed=self.seed,
+            host_dtype=self.host_dtype,
         )
         # reference quirk preserved: val split re-reads the training file
         self._val = load_nyuv2_depth(
@@ -105,6 +124,7 @@ class NYUv2DepthDataModule(DataModule):
             batch_size=args.batch_size,
             train_dataset_fraction=args.train_dataset_fraction,
             seed=getattr(args, "seed", None),
+            host_dtype=getattr(args, "host_dtype", "float32"),
         )
 
     @staticmethod
@@ -117,4 +137,9 @@ class NYUv2DepthDataModule(DataModule):
         parser.add_argument("--num_workers", type=int, default=32)
         parser.add_argument("--pin_memory", type=bool, default=True)
         parser.add_argument("--train_dataset_fraction", type=float, default=1.0)
+        parser.add_argument(
+            "--host_dtype", type=str, default="float32",
+            choices=["float32", "uint8"],
+            help="TPU extension: uint8 keeps raw bytes on the host and "
+                 "normalizes on-device (4x less host work and transfer)")
         return parent_parser

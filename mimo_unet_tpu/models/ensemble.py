@@ -162,9 +162,21 @@ class Ensemble:
         """[B,H,W,C] -> (p1, p2) each [B, S_total*mc, H, W, C_out/2]."""
         if rng is None:
             rng = jax.random.key(0)
+        # member-loop when the CT eval fast path applies (it beats the
+        # vmapped stacked program, whose batched-weight convs XLA lowers
+        # poorly and which cannot use pallas kernels); stacked otherwise
+        from mimo_unet_tpu.models.fast_path import ct_fast_path_supported
+
+        def _ct_ok(task):
+            bsz = image.shape[0]
+            shape = (bsz, task.num_subnetworks) + tuple(image.shape[1:])
+            return ct_fast_path_supported(
+                task.model_config, shape, train=False,
+                mc_dropout=self.monte_carlo_steps > 0)
+
         p1s, p2s = [], []
         for start, end in self._runs:
-            if start in self._stacked:
+            if start in self._stacked and not _ct_ok(self.members[start][0]):
                 fn, params, mstate = self._stacked[start]
                 p1, p2 = fn(params, mstate, image,
                             jax.random.fold_in(rng, start))

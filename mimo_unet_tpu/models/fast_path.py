@@ -45,12 +45,22 @@ def ct_fast_path_supported(
     train: bool,
     mc_dropout: bool,
 ) -> bool:
-    """True when the CT kernel path applies (see module docstring)."""
+    """True when the CT kernel path applies (see module docstring).
+
+    MC dropout is supported when only the center/final dropout sites are
+    configured (the reference's default config): center dropout lives in
+    the XLA core and final dropout is applied between the decoder kernel
+    and the 1x1 out-conv.  Spatial dropout inside the fused DoubleConvs
+    falls back to the XLA path."""
     if cfg.ct_kernels == "off":
         return False
     if cfg.ct_kernels != "force" and jax.default_backend() != "tpu":
         return False
-    if train or mc_dropout:
+    if train:
+        return False
+    if mc_dropout and any(r > 0 for r in (cfg.encoder_dropout_rate,
+                                          cfg.core_dropout_rate,
+                                          cfg.decoder_dropout_rate)):
         return False
     if cfg.compute_dtype != "bfloat16" or cfg.mode != "bilinear":
         return False
@@ -145,12 +155,16 @@ def mimo_unet_apply_ct(
     x: jax.Array,
     cfg: MimoUNetConfig,
     *,
+    rng: Optional[jax.Array] = None,
+    mc_dropout: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, dict]:
     """Eval forward via CT kernels: [B,S,H,W,Cin] -> [B,S,H,W,Cout].
 
     Numerically equivalent to ``mimo_unet_apply(train=False)`` in bf16 up
     to one extra bf16 rounding per fused conv pair (tests/test_ct_conv.py).
+    With ``mc_dropout`` the center/final dropout sites are live (reference
+    ensemble.py:54-66); see ct_fast_path_supported.
     """
     b, s, h, w, cin = x.shape
     f = cfg.filter_base_count
@@ -203,9 +217,12 @@ def mimo_unet_apply_ct(
     x2_nhwc = x2s[:f2].reshape(f2, s, b, h2, w2)
     x2_concat = jnp.transpose(x2_nhwc, (2, 3, 4, 1, 0)).reshape(
         b, h2, w2, s * f2)
+    if rng is None:
+        rng = jax.random.key(0)
+    k_core, k_final = jax.random.split(rng)
     x_up, _ = core_apply(
         params["core"], state["core"], x2_concat, cfg, train=False,
-        rng=jax.random.key(0),
+        rng=k_core, mc_dropout=mc_dropout, dropout_active=mc_dropout,
     )  # [b, h2, w2, 2fs/factor] NHWC
 
     # ---- decoder: fused upsample-concat DoubleConv + 1x1 out-conv ----------
@@ -240,17 +257,35 @@ def mimo_unet_apply_ct(
     outc = dec_p["outc"]
     oc = outc["w"].shape[4]
     oca = align8(oc)
-    wo = jnp.zeros((s, f, oca), jnp.float32).at[:, :, :oc].set(
-        outc["w"][:, 0, 0])
-    bo = jnp.zeros((s, oca), jnp.float32).at[:, :oc].set(outc["b"])
+    final_dropout = mc_dropout and cfg.final_dropout_rate > 0
+    if not final_dropout:
+        wo = jnp.zeros((s, f, oca), jnp.float32).at[:, :, :oc].set(
+            outc["w"][:, 0, 0])
+        bo = jnp.zeros((s, oca), jnp.float32).at[:, :oc].set(outc["b"])
+        out = fused_double_conv_ct(
+            x1s, w1p, s1, sh1, w2p, s2, sh2,
+            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca),
+            c1=fa, m=mid_c, o=f,
+            x2=xup_ct, c2=c_up_a, n2_images=b,
+            wo=wo, bo=bo, interpret=interpret,
+        )  # [oca, n*h*w]
+    else:
+        # final dropout (reference model.py:281) sits between up4 and the
+        # out-conv: run the kernel without the fused 1x1, drop out, then
+        # the grouped 1x1 kernel
+        from mimo_unet_tpu.ops.dropout import dropout as _dropout
+        from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_ct
 
-    out = fused_double_conv_ct(
-        x1s, w1p, s1, sh1, w2p, s2, sh2,
-        h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca),
-        c1=fa, m=mid_c, o=f,
-        x2=xup_ct, c2=c_up_a, n2_images=b,
-        wo=wo, bo=bo, interpret=interpret,
-    )  # [oca, n*h*w]
+        y = fused_double_conv_ct(
+            x1s, w1p, s1, sh1, w2p, s2, sh2,
+            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f)),
+            c1=fa, m=mid_c, o=f,
+            x2=xup_ct, c2=c_up_a, n2_images=b, interpret=interpret,
+        )  # [fa, n*h*w]
+        y = _dropout(y, cfg.final_dropout_rate, k_final, deterministic=False)
+        wo1 = jnp.zeros((s, f, oca)).at[:, :, :oc].set(outc["w"][:, 0, 0])
+        bo1 = jnp.zeros((s, oca, 1)).at[:, :oc, 0].set(outc["b"])
+        out = conv1x1_ct(y.astype(cdt), wo1, bo1, f, s, interpret)
 
     logits = out[:oc].reshape(oc, s, b, h, w)
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)

@@ -199,7 +199,8 @@ def mimo_unet_apply(
 
     if ct_fast_path_supported(cfg, x.shape, train=train,
                               mc_dropout=mc_dropout):
-        return mimo_unet_apply_ct(params, state, x, cfg)
+        return mimo_unet_apply_ct(params, state, x, cfg, rng=rng,
+                                  mc_dropout=mc_dropout)
     if ct_train_path_supported(cfg, x.shape, train=train,
                                mc_dropout=mc_dropout):
         return mimo_unet_apply_ct_train(params, state, x, cfg, rng=rng)

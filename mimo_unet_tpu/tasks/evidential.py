@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from mimo_unet_tpu.losses import EvidentialLoss
+from mimo_unet_tpu.data.core import device_normalize
 from mimo_unet_tpu.loss_buffer import loss_buffer_init
 from mimo_unet_tpu.metrics import compute_regression_metrics
 from mimo_unet_tpu.models import MimoUNetConfig, count_parameters, mimo_unet_apply, mimo_unet_init
@@ -129,6 +130,7 @@ class EvidentialUnetTask:
         with_outputs: bool = False,
     ) -> Tuple[TrainState, Dict[str, jax.Array], Optional[Dict[str, jax.Array]]]:
         loss_fn = self.loss_fn
+        batch = device_normalize(batch)
         k_dropout = jax.random.fold_in(rng, state.step)
         image, label = batch["image"], batch["label"]
         mask = batch.get("mask")
@@ -179,6 +181,7 @@ class EvidentialUnetTask:
         batch: Dict[str, jax.Array],
     ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
         loss_fn = self.loss_fn
+        batch = device_normalize(batch)
         image, label = batch["image"], batch["label"]
         mask = batch.get("mask")
         mask_sq = jnp.squeeze(mask, axis=-1) if mask is not None else None

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from mimo_unet_tpu.losses import UncertaintyLoss
+from mimo_unet_tpu.data.core import device_normalize
 from mimo_unet_tpu.loss_buffer import (
     LossBufferState,
     loss_buffer_add,
@@ -182,6 +183,7 @@ class MimoUnetTask:
         """One optimization step.  ``batch``: image/label [B,H,W,C], optional
         mask [B,H,W,1].  Returns (new_state, logs, outputs-or-None)."""
         loss_fn = self.loss_fn
+        batch = device_normalize(batch)
         k_transform, k_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         image_t, label_t, mask_t = apply_input_transform(
@@ -262,6 +264,7 @@ class MimoUnetTask:
         size, mimo/models/mimo_unet.py:283-291 — so padding must be a no-op).
         """
         loss_fn = self.loss_fn
+        batch = device_normalize(batch)
         image = repeat_subnetworks(batch["image"], self.num_subnetworks)
         label = repeat_subnetworks(batch["label"], self.num_subnetworks)
         mask = batch.get("mask")

@@ -213,11 +213,17 @@ class TestFastPathForward:
             ct_kernels="force")
         assert ct_fast_path_supported(
             force, shape, train=False, mc_dropout=False)
-        # train / mc-dropout / f32 / bad width all fall back
+        # train / spatial-dropout-mc / f32 / bad width all fall back
         assert not ct_fast_path_supported(
             force, shape, train=True, mc_dropout=False)
-        assert not ct_fast_path_supported(
+        # mc-dropout IS supported when only center/final dropout exist...
+        assert ct_fast_path_supported(
             force, shape, train=False, mc_dropout=True)
+        # ...but not with spatial dropout inside the fused DoubleConvs
+        import dataclasses
+        spatial = dataclasses.replace(force, encoder_dropout_rate=0.1)
+        assert not ct_fast_path_supported(
+            spatial, shape, train=False, mc_dropout=True)
         f32 = MimoUNetConfig(
             in_channels=3, out_channels=2, num_subnetworks=2,
             filter_base_count=6, ct_kernels="force")
