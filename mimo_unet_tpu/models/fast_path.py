@@ -17,15 +17,28 @@ Eval-only: BatchNorm folds into the kernels' affine epilogues and dropout
 is inactive, exactly the reference's inference configuration
 (ensemble.py:46-49 eval()).  Training and MC-dropout fall back to the
 reference NHWC path in models/mimo_unet.py.
+
+Multi-device: ``pallas_call`` has no GSPMD partitioning rule, so when a
+data-parallel mesh is active (parallel/mesh.py ct_mesh_scope) the kernel
+sections run under ``jax.shard_map`` over the data axis.  Each device runs
+the unmodified kernels on its local batch; the train path's BatchNorm
+batch statistics are psum'd across the axis before the affine glue, which
+reproduces the reference's single-device global-batch BN semantics
+(reference components.py:24,27) at any device count.  The statistics
+gradient path stays exact: shard_map's reverse transposes the psum, so the
+custom VJP's dsum/dsumsq cotangents arrive replicated — the same
+``g_eff = dy + dsum + 2y*dsumsq`` fold as on one chip.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from mimo_unet_tpu.models.mimo_unet import MimoUNetConfig, core_apply
 from mimo_unet_tpu.ops.pallas.ct_conv import (
@@ -36,6 +49,61 @@ from mimo_unet_tpu.ops.pallas.ct_conv import (
     pick_th,
 )
 from mimo_unet_tpu.ops.resize import _interp_matrix
+
+_WARNED: set = set()
+
+
+def _warn_once(key: str, msg: str) -> None:
+    if key not in _WARNED:
+        _WARNED.add(key)
+        print(f"[fast_path] {msg}")
+
+
+def _active_ct_mesh(x_shape, gate_key: str):
+    """(mesh, axis_name) when the CT sections must run under shard_map.
+
+    Returns (None, None) for single-device execution.  Raises nothing —
+    ineligible meshes are reported by the gates instead."""
+    from mimo_unet_tpu.parallel.mesh import DATA_AXIS, current_ct_mesh
+
+    mesh = current_ct_mesh()
+    if mesh is None:
+        return None, None
+    d = dict(mesh.shape).get(DATA_AXIS, 1)
+    if d <= 1:
+        return None, None
+    return mesh, DATA_AXIS
+
+
+def _mesh_eligible(x_shape, gate_key: str) -> bool:
+    """False when an active mesh exists that the CT path cannot serve
+    (spatial partitioning, or a batch that doesn't divide the data axis)."""
+    from mimo_unet_tpu.parallel.mesh import (
+        DATA_AXIS,
+        SPATIAL_AXIS,
+        current_ct_mesh,
+    )
+
+    mesh = current_ct_mesh()
+    if mesh is None:
+        return True
+    shape = dict(mesh.shape)
+    if shape.get(SPATIAL_AXIS, 1) > 1:
+        _warn_once(
+            f"{gate_key}-spatial",
+            "CT kernels disabled under a spatial (2-D) mesh; "
+            "falling back to the XLA path",
+        )
+        return False
+    d = shape.get(DATA_AXIS, 1)
+    if d > 1 and x_shape[0] % d != 0:
+        _warn_once(
+            f"{gate_key}-divis",
+            f"CT kernels disabled: batch {x_shape[0]} does not divide the "
+            f"{d}-device data axis; falling back to the XLA path",
+        )
+        return False
+    return True
 
 
 def ct_fast_path_supported(
@@ -69,19 +137,28 @@ def ct_fast_path_supported(
     h, w = x_shape[2], x_shape[3]
     if w % 256 != 0 or h % 2 != 0:
         return False
+    if not _mesh_eligible(x_shape, "eval"):
+        return False
     f, s = cfg.filter_base_count, cfg.num_subnetworks
     fs = f * s
     cin = cfg.in_channels
-    # per-stage tile fit: in_conv (cin -> f -> f), down1 (f -> 2f -> 2f at
-    # half resolution), decoder (f + 2fs/2 -> ~in/2 -> f, fused out-conv)
+    # per-stage tile fit, probed with the exact out_c values the apply path
+    # uses: in_conv (cin -> f -> f), down1 (f -> 2f -> 2f at half
+    # resolution), decoder (f + 2fs/2 -> ~in/2 -> f, fused out-conv with
+    # align8(out_channels) — or align8(f) on the mc-dropout final-dropout
+    # branch, which skips the fused 1x1)
     dec_c2 = 2 * fs // cfg.factor
-    mid = (align8(f) + align8(dec_c2)) // 2  # decoder mid = in_channels // 2
+    mid_c = (f + dec_c2) // 2  # decoder mid = in_channels // 2
+    if mc_dropout and cfg.final_dropout_rate > 0:
+        dec_out_c = align8(f)
+    else:
+        dec_out_c = align8(cfg.out_channels)
     ok = (
         pick_th(h, w, cin, 0, f, f, align8(f)) is not None
         and pick_th(h // 2, w // 2, align8(f), 0, 2 * f, 2 * f,
                     align8(2 * f)) is not None
         and pick_th(h, w, align8(f), align8(dec_c2),
-                    (f + dec_c2) // 2, f, 8) is not None
+                    mid_c, f, dec_out_c) is not None
     )
     return ok
 
@@ -149,31 +226,18 @@ def _upsample_ct_x2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
     return y.reshape(c, n * 4 * h * w)
 
 
-def mimo_unet_apply_ct(
-    params: dict,
-    state: dict,
-    x: jax.Array,
-    cfg: MimoUNetConfig,
-    *,
-    rng: Optional[jax.Array] = None,
-    mc_dropout: bool = False,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, dict]:
-    """Eval forward via CT kernels: [B,S,H,W,Cin] -> [B,S,H,W,Cout].
+# ===========================================================================
+# eval path sections (shard_map bodies; batch axis explicit at boundaries)
 
-    Numerically equivalent to ``mimo_unet_apply(train=False)`` in bf16 up
-    to one extra bf16 rounding per fused conv pair (tests/test_ct_conv.py).
-    With ``mc_dropout`` the center/final dropout sites are live (reference
-    ensemble.py:54-66); see ct_fast_path_supported.
-    """
+
+def _enc_eval_local(enc_p, enc_s, x, *, cfg, interpret):
+    """Per-device eval encoder: x [b, S, H, W, Cin] ->
+    (x1s [fa, S, b, H, W], x2s [align8(2f), S, b, H/2, W/2])."""
     b, s, h, w, cin = x.shape
     f = cfg.filter_base_count
     fa = align8(f)
     n = s * b
     cdt = jnp.bfloat16
-
-    enc_p, enc_s = params["encoder"], state["encoder"]
-    dec_p, dec_s = params["decoder"], state["decoder"]
 
     # ---- to CT (S-major image order to match grouped weights) -------------
     xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
@@ -211,21 +275,21 @@ def mimo_unet_apply_ct(
         h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
         c1=fa, m=2 * f, o=2 * f, interpret=interpret,
     )  # [align8(2f), n*h2*w2]
+    return (x1s.reshape(fa, s, b, h, w),
+            x2s.reshape(x2s.shape[0], s, b, h2, w2))
 
-    # ---- core (NHWC): subnetwork-major channel concat ----------------------
-    f2 = 2 * f
-    x2_nhwc = x2s[:f2].reshape(f2, s, b, h2, w2)
-    x2_concat = jnp.transpose(x2_nhwc, (2, 3, 4, 1, 0)).reshape(
-        b, h2, w2, s * f2)
-    if rng is None:
-        rng = jax.random.key(0)
-    k_core, k_final = jax.random.split(rng)
-    x_up, _ = core_apply(
-        params["core"], state["core"], x2_concat, cfg, train=False,
-        rng=k_core, mc_dropout=mc_dropout, dropout_active=mc_dropout,
-    )  # [b, h2, w2, 2fs/factor] NHWC
 
-    # ---- decoder: fused upsample-concat DoubleConv + 1x1 out-conv ----------
+def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_final, *, cfg, mc_dropout,
+                    interpret, axis):
+    """Per-device eval decoder: fused upsample-concat DoubleConv + 1x1
+    out-conv.  x1s5 [fa, S, b, H, W], x_up [b, H/2, W/2, c_up] NHWC ->
+    logits [b, S, H, W, out_channels] f32."""
+    fa, s, b, h, w = x1s5.shape
+    f = cfg.filter_base_count
+    h2, w2 = h // 2, w // 2
+    cdt = jnp.bfloat16
+    x1s = x1s5.reshape(fa, -1)
+
     c_up = x_up.shape[-1]
     c_up_a = align8(c_up)
     xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))  # [c_up, b, h2, w2]
@@ -272,10 +336,13 @@ def mimo_unet_apply_ct(
     else:
         # final dropout (reference model.py:281) sits between up4 and the
         # out-conv: run the kernel without the fused 1x1, drop out, then
-        # the grouped 1x1 kernel
+        # the grouped 1x1 kernel.  Per-device masks must be independent
+        # under a mesh, so the key is folded with the device index.
         from mimo_unet_tpu.ops.dropout import dropout as _dropout
         from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_ct
 
+        if axis is not None:
+            k_final = jax.random.fold_in(k_final, lax.axis_index(axis))
         y = fused_double_conv_ct(
             x1s, w1p, s1, sh1, w2p, s2, sh2,
             h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f)),
@@ -288,7 +355,70 @@ def mimo_unet_apply_ct(
         out = conv1x1_ct(y.astype(cdt), wo1, bo1, f, s, interpret)
 
     logits = out[:oc].reshape(oc, s, b, h, w)
-    logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
+    return jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
+
+
+def mimo_unet_apply_ct(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    cfg: MimoUNetConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+    mc_dropout: bool = False,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, dict]:
+    """Eval forward via CT kernels: [B,S,H,W,Cin] -> [B,S,H,W,Cout].
+
+    Numerically equivalent to ``mimo_unet_apply(train=False)`` in bf16 up
+    to one extra bf16 rounding per fused conv pair (tests/test_ct_conv.py).
+    With ``mc_dropout`` the center/final dropout sites are live (reference
+    ensemble.py:54-66); see ct_fast_path_supported.
+
+    Under an active data-parallel mesh (parallel/mesh.py ct_mesh_scope)
+    the encoder/decoder kernel sections run inside ``jax.shard_map`` over
+    the data axis; the shared core stays on the GSPMD-partitioned XLA path
+    between them.
+    """
+    b, s, h, w, cin = x.shape
+    f = cfg.filter_base_count
+    if rng is None:
+        rng = jax.random.key(0)
+    k_core, k_final = jax.random.split(rng)
+    mesh, axis = _active_ct_mesh(x.shape, "eval")
+
+    enc = partial(_enc_eval_local, cfg=cfg, interpret=interpret)
+    dec = partial(_dec_eval_local, cfg=cfg, mc_dropout=mc_dropout,
+                  interpret=interpret, axis=axis)
+    if mesh is None:
+        x1s5, x2s5 = enc(params["encoder"], state["encoder"], x)
+    else:
+        x1s5, x2s5 = jax.shard_map(
+            enc, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(None, None, axis), P(None, None, axis)),
+            check_vma=False,
+        )(params["encoder"], state["encoder"], x)
+
+    # ---- core (NHWC): subnetwork-major channel concat ----------------------
+    f2 = 2 * f
+    h2, w2 = h // 2, w // 2
+    x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
+        b, h2, w2, s * f2)
+    x_up, _ = core_apply(
+        params["core"], state["core"], x2_concat, cfg, train=False,
+        rng=k_core, mc_dropout=mc_dropout, dropout_active=mc_dropout,
+    )  # [b, h2, w2, 2fs/factor] NHWC
+
+    if mesh is None:
+        logits = dec(params["decoder"], state["decoder"], x1s5, x_up, k_final)
+    else:
+        logits = jax.shard_map(
+            dec, mesh=mesh,
+            in_specs=(P(), P(), P(None, None, axis), P(axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )(params["decoder"], state["decoder"], x1s5, x_up, k_final)
     # eval mode: BatchNorm running stats are unchanged
     return logits, state
 
@@ -322,7 +452,9 @@ def ct_train_path_supported(
     if len(x_shape) != 5:
         return False
     h, w = x_shape[2], x_shape[3]
-    return w % 256 == 0 and h % 32 == 0
+    if not (w % 256 == 0 and h % 32 == 0):
+        return False
+    return _mesh_eligible(x_shape, "train")
 
 
 def _bn_affine_from_stats(s, q, count, conv_b, bn_p, bn_s,
@@ -403,27 +535,26 @@ def _max_pool_ct_bwd(res, g):
 _max_pool_ct.defvjp(_max_pool_ct_fwd, _max_pool_ct_bwd)
 
 
-def mimo_unet_apply_ct_train(
-    params: dict,
-    state: dict,
-    x: jax.Array,
-    cfg: MimoUNetConfig,
-    *,
-    rng: Optional[jax.Array] = None,
-    interpret: Optional[bool] = None,
-) -> Tuple[jax.Array, dict]:
-    """Train-mode forward via CT kernels: [B,S,H,W,Cin] -> logits, state.
+def _psum_stats(s, q, axis):
+    """Cross-device reduction of the kernels' per-device BN sums.  The
+    gradient path is exact: shard_map transposes the psum, so the custom
+    VJP's statistics cotangents arrive replicated on every device."""
+    if axis is None:
+        return s, q
+    return lax.psum(s, axis), lax.psum(q, axis)
 
-    Encoder/decoder convs run as conv3x3_ct_train (custom VJP); BatchNorm
-    batch statistics come back from the kernels and the affines are
-    computed in differentiable XLA glue, so jax.grad of a loss on the
-    output produces the same gradients as the reference NHWC path (bf16
-    tolerance; tests/test_ct_train.py)."""
+
+def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
+                     axis):
+    """Per-device train encoder: x [b, S, H, W, Cin] ->
+    (x1s [fa, S, b, H, W], x2s [f2a, S, b, H/2, W/2], new_enc_state).
+
+    ``cnt_full``/``cnt_half`` are GLOBAL per-group element counts (whole
+    mesh batch), so the BatchNorm affines built from the psum'd statistics
+    reproduce single-device global-batch normalization exactly."""
+    from mimo_unet_tpu.ops.pallas.ct_elem import affine_relu_ct
     from mimo_unet_tpu.ops.pallas.ct_train import conv3x3_ct_train
 
-    if interpret is None:
-        from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret
-        interpret = _use_interpret()
     b, s, h, w, cin = x.shape
     f = cfg.filter_base_count
     fa = align8(f)
@@ -432,17 +563,16 @@ def mimo_unet_apply_ct_train(
     n = s * b
     th = 16
     cdt = jnp.bfloat16
-
-    enc_p, enc_s = params["encoder"], state["encoder"]
-    dec_p, dec_s = params["decoder"], state["decoder"]
     new_enc = {"in_conv": {}, "down1": {}}
-    new_dec = {"up4": {"conv": {}}}
 
     xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
-    cnt_full = b * h * w  # per-group element count at full resolution
 
-    def packw(wg, blocks):
-        return pack_w3x3(blocks(wg))
+    def widen(wg, c_real, c_pad, m):
+        return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
+
+    def apply_affine(y, sc, sh, c_real):
+        return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
+                              interpret)
 
     # ---- encoder in_conv --------------------------------------------------
     ic = enc_p["in_conv"]
@@ -450,11 +580,9 @@ def mimo_unet_apply_ct_train(
     y1, s1, q1 = conv3x3_ct_train(
         xct, None, w1p.astype(cdt), None, None,
         h, w, th, cin, 0, f, 0, interpret)
+    s1, q1 = _psum_stats(s1, q1, axis)
     sc1, sh1, new_enc["in_conv"]["bn1"] = _bn_affine_from_stats(
         s1, q1, cnt_full, ic["conv1"]["b"], ic["bn1"], enc_s["in_conv"]["bn1"])
-
-    def widen(wg, c_real, c_pad, m):
-        return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
 
     w2p = jnp.stack([pack_w3x3([widen(ic["conv2"]["w"][g], f, fa, f)])
                      for g in range(s)])
@@ -462,20 +590,14 @@ def mimo_unet_apply_ct_train(
         y1, None, w2p.astype(cdt), _prologue_cols([(sc1, f)], fa),
         _prologue_cols([(sh1, f)], fa),
         h, w, th, fa, 0, f, 0, interpret)
+    s2, q2 = _psum_stats(s2, q2, axis)
     sc2, sh2, new_enc["in_conv"]["bn2"] = _bn_affine_from_stats(
         s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
 
     # skip connection + pool input: z2 = relu(affine2(y2)), group-blocked
-    from mimo_unet_tpu.ops.pallas.ct_elem import affine_relu_ct
-
-    def apply_affine(y, sc, sh, c_real):
-        return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
-                              interpret)
-
     x1s = apply_affine(y2, sc2, sh2, f)  # [fa, n*h*w]
     h2, w2 = h // 2, w // 2
     pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
-    cnt_half = b * h2 * w2
 
     # ---- down1 -------------------------------------------------------------
     d1 = enc_p["down1"]
@@ -484,6 +606,7 @@ def mimo_unet_apply_ct_train(
     y3, s3, q3 = conv3x3_ct_train(
         pooled, None, w3p.astype(cdt), None, None,
         h2, w2, th, fa, 0, f2, 0, interpret)
+    s3, q3 = _psum_stats(s3, q3, axis)
     sc3, sh3, new_enc["down1"]["bn1"] = _bn_affine_from_stats(
         s3, q3, cnt_half, d1["conv1"]["b"], d1["bn1"], enc_s["down1"]["bn1"])
 
@@ -494,21 +617,38 @@ def mimo_unet_apply_ct_train(
         y3, None, w4p.astype(cdt), _prologue_cols([(sc3, f2)], f2a),
         _prologue_cols([(sh3, f2)], f2a),
         h2, w2, th, f2a, 0, f2, 0, interpret)
+    s4, q4 = _psum_stats(s4, q4, axis)
     sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
         s4, q4, cnt_half, d1["conv2"]["b"], d1["bn2"], enc_s["down1"]["bn2"])
     x2s = apply_affine(y4, sc4, sh4, f2)  # [f2a, n*h2*w2]
 
-    # ---- core (NHWC XLA, train) --------------------------------------------
-    x2_nhwc = x2s[:f2].reshape(f2, s, b, h2, w2)
-    x2_concat = jnp.transpose(x2_nhwc, (2, 3, 4, 1, 0)).reshape(
-        b, h2, w2, s * f2)
-    if rng is None:
-        rng = jax.random.key(0)
-    x_up, core_st = core_apply(
-        params["core"], state["core"], x2_concat, cfg, train=True,
-        rng=rng)
+    return (x1s.reshape(fa, s, b, h, w),
+            x2s.reshape(f2a, s, b, h2, w2),
+            new_enc)
 
-    # ---- decoder -----------------------------------------------------------
+
+def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
+                     axis):
+    """Per-device train decoder: (x1s [fa, S, b, H, W], x_up NHWC) ->
+    (logits [b, S, H, W, out_channels] f32, new_dec_state)."""
+    from mimo_unet_tpu.ops.pallas.ct_elem import affine_relu_ct, conv1x1_ct
+    from mimo_unet_tpu.ops.pallas.ct_train import conv3x3_ct_train
+
+    fa, s, b, h, w = x1s5.shape
+    f = cfg.filter_base_count
+    h2, w2 = h // 2, w // 2
+    th = 16
+    cdt = jnp.bfloat16
+    x1s = x1s5.reshape(fa, -1)
+    new_dec = {"up4": {"conv": {}}}
+
+    def widen(wg, c_real, c_pad, m):
+        return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
+
+    def apply_affine(y, sc, sh, c_real):
+        return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
+                              interpret)
+
     c_up = x_up.shape[-1]
     c_up_a = align8(c_up)
     xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))
@@ -528,6 +668,7 @@ def mimo_unet_apply_ct_train(
     y5, s5, q5 = conv3x3_ct_train(
         x1s, xup_ct, w5p.astype(cdt), None, None,
         h, w, th, fa, c_up_a, mid_c, b, interpret)
+    s5, q5 = _psum_stats(s5, q5, axis)
     sc5, sh5, new_dec["up4"]["conv"]["bn1"] = _bn_affine_from_stats(
         s5, q5, cnt_full, up4["conv1"]["b"], up4["bn1"],
         dec_s["up4"]["conv"]["bn1"])
@@ -539,14 +680,13 @@ def mimo_unet_apply_ct_train(
         y5, None, w6p.astype(cdt), _prologue_cols([(sc5, mid_c)], mid_a),
         _prologue_cols([(sh5, mid_c)], mid_a),
         h, w, th, mid_a, 0, f, 0, interpret)
+    s6, q6 = _psum_stats(s6, q6, axis)
     sc6, sh6, new_dec["up4"]["conv"]["bn2"] = _bn_affine_from_stats(
         s6, q6, cnt_full, up4["conv2"]["b"], up4["bn2"],
         dec_s["up4"]["conv"]["bn2"])
     z6 = apply_affine(y6, sc6, sh6, f)  # [fa, n*h*w]
 
     # ---- out conv (1x1, per group) ------------------------------------------
-    from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_ct
-
     outc = dec_p["outc"]
     oc = outc["w"].shape[4]
     oca = align8(oc)
@@ -556,6 +696,76 @@ def mimo_unet_apply_ct_train(
 
     logits = logits_ct[:oc].reshape(oc, s, b, h, w)
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
+    return logits, new_dec
+
+
+def mimo_unet_apply_ct_train(
+    params: dict,
+    state: dict,
+    x: jax.Array,
+    cfg: MimoUNetConfig,
+    *,
+    rng: Optional[jax.Array] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, dict]:
+    """Train-mode forward via CT kernels: [B,S,H,W,Cin] -> logits, state.
+
+    Encoder/decoder convs run as conv3x3_ct_train (custom VJP); BatchNorm
+    batch statistics come back from the kernels and the affines are
+    computed in differentiable XLA glue, so jax.grad of a loss on the
+    output produces the same gradients as the reference NHWC path (bf16
+    tolerance; tests/test_ct_train.py).
+
+    Under an active data-parallel mesh the kernel sections run inside
+    ``jax.shard_map`` with the BN statistics psum'd across the data axis
+    (global-batch BN, matching the reference's single-device semantics —
+    components.py:24,27); verified against the single-device result in
+    tests/test_ct_mesh.py."""
+    if interpret is None:
+        from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret
+        interpret = _use_interpret()
+    b, s, h, w, cin = x.shape
+    f = cfg.filter_base_count
+    f2 = 2 * f
+    mesh, axis = _active_ct_mesh(x.shape, "train")
+    # GLOBAL per-group counts: the mesh-wide batch normalizes every group
+    cnt_full = b * h * w
+    cnt_half = b * (h // 2) * (w // 2)
+
+    enc = partial(_enc_train_local, cfg=cfg, cnt_full=cnt_full,
+                  cnt_half=cnt_half, interpret=interpret, axis=axis)
+    dec = partial(_dec_train_local, cfg=cfg, cnt_full=cnt_full,
+                  interpret=interpret, axis=axis)
+
+    if mesh is None:
+        x1s5, x2s5, new_enc = enc(params["encoder"], state["encoder"], x)
+    else:
+        x1s5, x2s5, new_enc = jax.shard_map(
+            enc, mesh=mesh,
+            in_specs=(P(), P(), P(axis)),
+            out_specs=(P(None, None, axis), P(None, None, axis), P()),
+            check_vma=False,
+        )(params["encoder"], state["encoder"], x)
+
+    # ---- core (NHWC XLA, train) --------------------------------------------
+    h2, w2 = h // 2, w // 2
+    x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
+        b, h2, w2, s * f2)
+    if rng is None:
+        rng = jax.random.key(0)
+    x_up, core_st = core_apply(
+        params["core"], state["core"], x2_concat, cfg, train=True,
+        rng=rng)
+
+    if mesh is None:
+        logits, new_dec = dec(params["decoder"], state["decoder"], x1s5, x_up)
+    else:
+        logits, new_dec = jax.shard_map(
+            dec, mesh=mesh,
+            in_specs=(P(), P(), P(None, None, axis), P(axis)),
+            out_specs=(P(axis), P()),
+            check_vma=False,
+        )(params["decoder"], state["decoder"], x1s5, x_up)
 
     new_state = {
         "encoder": {

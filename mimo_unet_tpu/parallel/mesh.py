@@ -15,6 +15,7 @@ Multi-host (DCN) scaling hooks in via ``jax.distributed.initialize`` before
 
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, Optional
 
 import numpy as np
@@ -23,6 +24,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+
+# --------------------------------------------------------------------------
+# Active-mesh context for the CT Pallas fast path.
+#
+# ``pallas_call`` has no GSPMD partitioning rule, so the CT kernels
+# (ops/pallas/ct_conv.py, ct_train.py) must run under ``jax.shard_map``
+# over the data axis when the enclosing step is sharded across >1 device.
+# The model apply is a pure function that cannot see the trainer's mesh, so
+# the trainer (and any other mesh-owning caller) publishes it here for the
+# duration of tracing; models/fast_path.py reads it at trace time and wraps
+# the kernel sections in shard_map with the BatchNorm batch statistics
+# psum'd across the axis (preserving the reference's global-batch BN,
+# SURVEY.md §7 hard-part 2).
+
+_CT_MESH_STACK: list = []
+
+
+@contextlib.contextmanager
+def ct_mesh_scope(mesh: Optional[Mesh]):
+    """Publish ``mesh`` to the CT fast path for computations traced inside.
+
+    jit-compiled functions capture the mesh at trace time, so the scope must
+    enclose the first call of every jitted step (the Trainer wraps its whole
+    fit loop).  ``mesh=None`` or a 1-device mesh leaves the single-device
+    path untouched."""
+    _CT_MESH_STACK.append(mesh)
+    try:
+        yield
+    finally:
+        _CT_MESH_STACK.pop()
+
+
+def current_ct_mesh() -> Optional[Mesh]:
+    """The innermost active ``ct_mesh_scope`` mesh, or None."""
+    return _CT_MESH_STACK[-1] if _CT_MESH_STACK else None
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:

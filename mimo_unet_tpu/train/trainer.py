@@ -22,6 +22,7 @@ import jax
 from mimo_unet_tpu.data.core import DataModule, prefetch_to_device
 from mimo_unet_tpu.parallel.mesh import (
     batch_sharding,
+    ct_mesh_scope,
     make_mesh,
     pad_batch_to_divisible,
     replicated_sharding,
@@ -65,6 +66,13 @@ class Trainer:
     # ------------------------------------------------------------------ fit
 
     def fit(self, resume: bool = False):
+        # publish the mesh to the CT Pallas fast path: jitted steps traced
+        # inside this scope wrap their kernel sections in shard_map over the
+        # data axis when the mesh spans >1 device (models/fast_path.py)
+        with ct_mesh_scope(self.mesh):
+            return self._fit(resume)
+
+    def _fit(self, resume: bool = False):
         task, dm = self.task, self.dm
         dm.setup()
         n_train = len(dm.train_dataset())
