@@ -7,8 +7,8 @@ import jax
 import jax.numpy as jnp
 
 import mimo_unet_tpu.ops.conv as C
-from mimo_unet_tpu.ops.pallas.conv_fused import fused_conv3x3_cmajor
-from mimo_unet_tpu.ops.pallas.pad import reflect_pad_hw1, reflect_pad_w1
+from pallas_conv_fused import fused_conv3x3_cmajor
+from pallas_pad import reflect_pad_hw1, reflect_pad_w1
 
 
 class TestReflectPadKernel:

@@ -61,6 +61,11 @@ class ArrayDataset:
         return ArrayDataset({k: fn(k, v) for k, v in self.data.items()})
 
 
+# batch keys whose values are semantic (0/1 validity, masks) rather than
+# intensity data: never rescaled by device_normalize
+_NO_RESCALE_KEYS = ("mask", "valid")
+
+
 def device_normalize(batch: Batch) -> Batch:
     """Normalize uint8 batch entries to [0, 1] float32 on device.
 
@@ -69,15 +74,19 @@ def device_normalize(batch: Batch) -> Batch:
     host is single-core on this testbed and dominates the step time at
     full frame sizes, experiments/exp_pipeline_overlap.py); the /255
     lands on-device inside the jitted step.  float arrays pass through
-    unchanged, so the default float32 pipeline is unaffected.
+    unchanged, so the default float32 pipeline is unaffected.  Mask-like
+    keys ("mask", "valid") convert dtype only — a uint8 0/1 mask must stay
+    0/1, not become 0/255ths.
     """
     import jax.numpy as jnp
 
-    return {
-        k: (v.astype(jnp.float32) / 255.0
-            if v is not None and v.dtype == jnp.uint8 else v)
-        for k, v in batch.items()
-    }
+    def norm(k, v):
+        if v is None or v.dtype != jnp.uint8:
+            return v
+        v = v.astype(jnp.float32)
+        return v if k in _NO_RESCALE_KEYS else v / 255.0
+
+    return {k: norm(k, v) for k, v in batch.items()}
 
 
 def iterate_batches(

@@ -55,6 +55,21 @@ def load_nyuv2_depth(
     if host_dtype == "uint8":
         if not normalize:
             raise ValueError("host_dtype='uint8' implies normalize=True")
+        # The h5 must hold byte-range integer data for the uint8 staging
+        # to be lossless (the NYUv2 archives do: uint8 image/depth).  A
+        # float or wide-integer source would be silently truncated/wrapped
+        # by .astype(np.uint8), quantizing labels vs the float32 path.
+        for name, arr in (("image", image), ("depth", label)):
+            if not np.issubdtype(arr.dtype, np.integer):
+                raise ValueError(
+                    f"host_dtype='uint8' requires integer {name} data in "
+                    f"the h5, got {arr.dtype}; use host_dtype='float32'"
+                )
+            if arr.dtype != np.uint8 and (arr.min() < 0 or arr.max() > 255):
+                raise ValueError(
+                    f"host_dtype='uint8': {name} values outside [0, 255] "
+                    f"({arr.dtype}); use host_dtype='float32'"
+                )
         image = image.astype(np.uint8)
         label_u8 = label.astype(np.uint8)
         if label_u8.ndim == 3:

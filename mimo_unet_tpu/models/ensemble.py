@@ -91,8 +91,12 @@ class Ensemble:
 
     @staticmethod
     def _signature(task):
+        # type(task) distinguishes task classes with identical configs and
+        # loss names (e.g. a future task subclass overriding forward) —
+        # only same-class members may share one vmapped forward
         import dataclasses
-        return (dataclasses.replace(task.model_config, ct_kernels="off"),
+        return (type(task),
+                dataclasses.replace(task.model_config, ct_kernels="off"),
                 task.loss)
 
     @property

@@ -2,6 +2,7 @@
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -79,6 +80,66 @@ class TestNYUv2:
 
         raw = load_nyuv2_depth(os.path.join(path, "depth_train.h5"), normalize=False)
         assert raw[np.arange(1)]["image"].max() > 1.0
+
+    def test_uint8_staging_matches_float32_pipeline(self, tmp_path):
+        """host_dtype='uint8' + on-device /255 must be bitwise-identical to
+        the float32 host pipeline (both are exact: uint8/255 in f32)."""
+        from mimo_unet_tpu.data.core import device_normalize
+
+        path = make_nyuv2_h5(str(tmp_path), n=6, h=16, w=16)
+        f32 = load_nyuv2_depth(os.path.join(path, "depth_train.h5"))
+        u8 = load_nyuv2_depth(
+            os.path.join(path, "depth_train.h5"), host_dtype="uint8"
+        )
+        idx = np.arange(4)
+        b8 = u8[idx]
+        assert b8["image"].dtype == np.uint8 and b8["label"].dtype == np.uint8
+        normed = device_normalize({k: jnp.asarray(v) for k, v in b8.items()})
+        ref = f32[idx]
+        for k in ("image", "label"):
+            np.testing.assert_array_equal(np.asarray(normed[k]), ref[k])
+
+    def test_device_normalize_keeps_mask_semantics(self):
+        """uint8 0/1 masks and validity rows must convert dtype only —
+        rescaling them by /255 would zero out every valid pixel."""
+        from mimo_unet_tpu.data.core import device_normalize
+
+        batch = {
+            "image": jnp.full((2, 4, 4, 3), 255, jnp.uint8),
+            "mask": jnp.ones((2, 4, 4, 1), jnp.uint8),
+            "valid": jnp.ones((2,), jnp.uint8),
+        }
+        out = device_normalize(batch)
+        assert float(out["image"].max()) == 1.0
+        np.testing.assert_array_equal(np.asarray(out["mask"]), 1.0)
+        np.testing.assert_array_equal(np.asarray(out["valid"]), 1.0)
+
+    def test_uint8_staging_rejects_lossy_sources(self, tmp_path):
+        """Float or wide-integer h5 data must be refused, not silently
+        truncated (ADVICE r2: .astype(np.uint8) wraps/quantizes)."""
+        import h5py
+
+        fp = os.path.join(str(tmp_path), "depth_train.h5")
+        with h5py.File(fp, "w") as f:
+            f.create_dataset(
+                "image", data=np.random.rand(2, 8, 8, 3).astype(np.float32)
+            )
+            f.create_dataset(
+                "depth", data=np.random.rand(2, 8, 8, 1).astype(np.float32)
+            )
+        with pytest.raises(ValueError, match="integer"):
+            load_nyuv2_depth(fp, host_dtype="uint8")
+
+        with h5py.File(fp, "w") as f:
+            f.create_dataset(
+                "image",
+                data=np.random.randint(0, 1000, (2, 8, 8, 3)).astype(np.uint16),
+            )
+            f.create_dataset(
+                "depth", data=np.random.randint(0, 255, (2, 8, 8, 1), dtype=np.uint8)
+            )
+        with pytest.raises(ValueError, match=r"\[0, 255\]"):
+            load_nyuv2_depth(fp, host_dtype="uint8")
 
     def test_datamodule(self, tmp_path):
         path = make_nyuv2_h5(str(tmp_path), n=10, h=16, w=16)
