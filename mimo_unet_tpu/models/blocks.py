@@ -71,11 +71,31 @@ def double_conv_apply(
     groups: int = 1,
     compute_dtype=None,
     input_prepadded: bool = False,
+    pair: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, dict]:
     """``input_prepadded``: x already carries the 1px reflect halo for the
-    first conv (emitted for free by the pad-emitting upsample)."""
-    y = conv2d(x, params["conv1"], padding="REFLECT", groups=groups,
-               compute_dtype=compute_dtype, prepadded=input_prepadded)
+    first conv (emitted for free by the pad-emitting upsample).
+
+    ``pair=(xa, xb)``: the first conv consumes the channel concat of two
+    prepadded tensors WITHOUT materializing it — ``conv1(cat([xa, xb])) ==
+    conv1_a(xa) + conv1_b(xb)`` with the weights split on input channels.
+    Skipping the concat removes a full HBM round-trip of the widest
+    activation in every Up block (measured: the concat alone costs ~4.7 ms
+    of the 8.3 ms up3 glue at B=128 — experiments/exp_core_glue.py).
+    Requires groups == 1; ``x`` is ignored."""
+    if pair is not None:
+        assert groups == 1, "pair input requires ungrouped conv1"
+        xa, xb = pair
+        ca = xa.shape[-1]
+        w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
+        y = conv2d(xa, {"w": w1[:, :, :ca], "b": b1}, padding="REFLECT",
+                   compute_dtype=compute_dtype, prepadded=True)
+        y = y + conv2d(
+            xb, {"w": w1[:, :, ca:], "b": jnp.zeros_like(b1)},
+            padding="REFLECT", compute_dtype=compute_dtype, prepadded=True)
+    else:
+        y = conv2d(x, params["conv1"], padding="REFLECT", groups=groups,
+                   compute_dtype=compute_dtype, prepadded=input_prepadded)
     y, bn1_s = batch_norm(y, params["bn1"], state["bn1"], train=train)
     y = jnp.maximum(y, 0)
     y = conv2d(y, params["conv2"], padding="REFLECT", groups=groups,
@@ -173,6 +193,7 @@ def up_apply(
     mc_dropout: bool = False,
     groups: int = 1,
     compute_dtype=None,
+    split_skip_conv: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Upsample ``x1``, pad to ``x2``'s spatial size, concat [x2, x1], conv.
 
@@ -181,34 +202,55 @@ def up_apply(
     selection-matrix pad, and the first conv of the DoubleConv skips its
     pad entirely.
     """
-    prepadded = False
     if (
         mode == UP_BILINEAR
         and 2 * x1.shape[-3] == x2.shape[-3]
         and 2 * x1.shape[-2] == x2.shape[-2]
+        and groups == 1
     ):
         from mimo_unet_tpu.ops.conv import reflect_pad1
 
         x1 = upsample_bilinear_x2_align_corners(x1, pad_output=True)
         x2 = reflect_pad1(x2)
-        prepadded = True
+        if split_skip_conv:
+            # split-conv fast path: conv1 consumes the (prepadded) skip
+            # and upsampled tensors directly — the [x2, x1] concat
+            # (reference components.py:119) folds into the weight split
+            # and never materializes.  Used by the shared core under the
+            # CT fast path (+60 patches/s end-to-end); the vmapped
+            # per-subnetwork decoders lower the split badly under XLA, so
+            # it is opt-in (experiments/exp_core_glue.py).
+            y, conv_state = double_conv_apply(
+                params["conv"], state["conv"], x1, train=train,
+                dropout_rate=dropout_rate, dropout_key=dropout_key,
+                mc_dropout=mc_dropout, compute_dtype=compute_dtype,
+                pair=(x2, x1),
+            )
+            return y, {"conv": conv_state}
+        x = jnp.concatenate([x2, x1], axis=-1)
+        y, conv_state = double_conv_apply(
+            params["conv"], state["conv"], x, train=train,
+            dropout_rate=dropout_rate, dropout_key=dropout_key,
+            mc_dropout=mc_dropout, compute_dtype=compute_dtype,
+            input_prepadded=True,
+        )
+        return y, {"conv": conv_state}
+
+    if mode == UP_BILINEAR:
+        x1 = upsample_bilinear_x2_align_corners(x1)
+    elif mode == UP_UNPOOL:
+        h, w = x1.shape[-3] * 2, x1.shape[-2] * 2
+        x1 = max_unpool_2x2(x1, pooling_indices, h, w)
     else:
-        if mode == UP_BILINEAR:
-            x1 = upsample_bilinear_x2_align_corners(x1)
-        elif mode == UP_UNPOOL:
-            h, w = x1.shape[-3] * 2, x1.shape[-2] * 2
-            x1 = max_unpool_2x2(x1, pooling_indices, h, w)
-        else:
-            x1 = conv_transpose2d(x1, params["up"], stride=2, groups=groups,
-                                  compute_dtype=compute_dtype)
-        x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
+        x1 = conv_transpose2d(x1, params["up"], stride=2, groups=groups,
+                              compute_dtype=compute_dtype)
+    x1 = pad_to_match(x1, x2.shape[-3], x2.shape[-2])
 
     x = jnp.concatenate([x2, x1], axis=-1)
     y, conv_state = double_conv_apply(
         params["conv"], state["conv"], x, train=train,
         dropout_rate=dropout_rate, dropout_key=dropout_key,
         mc_dropout=mc_dropout, groups=groups, compute_dtype=compute_dtype,
-        input_prepadded=prepadded,
     )
     return y, {"conv": conv_state}
 

@@ -115,27 +115,30 @@ def ct_fast_path_supported(
 ) -> bool:
     """True when the CT kernel path applies (see module docstring).
 
-    MC dropout is supported when only the center/final dropout sites are
-    configured (the reference's default config): center dropout lives in
-    the XLA core and final dropout is applied between the decoder kernel
-    and the 1x1 out-conv.  Spatial dropout inside the fused DoubleConvs
-    falls back to the XLA path."""
+    MC dropout supports every reference site: center dropout lives in the
+    XLA core, final dropout between the decoder kernel and the 1x1
+    out-conv, and the spatial ``Dropout2d`` sites (the documented MC
+    recipe ``encoder/core/decoder_dropout_rate 0.1``, reference
+    Readme.md:82) as per-(image, channel) scales on the kernel outputs —
+    keyed identically to the XLA path, so masks match it bitwise
+    (tests/test_ct_conv.py)."""
     if cfg.ct_kernels == "off":
         return False
     if cfg.ct_kernels != "force" and jax.default_backend() != "tpu":
         return False
     if train:
         return False
-    if mc_dropout and any(r > 0 for r in (cfg.encoder_dropout_rate,
-                                          cfg.core_dropout_rate,
-                                          cfg.decoder_dropout_rate)):
-        return False
     if cfg.compute_dtype != "bfloat16" or cfg.mode != "bilinear":
         return False
     if len(x_shape) != 5:
         return False
     h, w = x_shape[2], x_shape[3]
-    if w % 256 != 0 or h % 2 != 0:
+    # every in-kernel lane offset is a multiple of w, so w % 128 == 0 keeps
+    # them lane-block aligned (640 = 5*128: NYUv2 whole frames qualify);
+    # down1 additionally needs the HALF width aligned — when it isn't
+    # (640/2 = 320 = 2.5*128) the apply path runs down1 on the vmapped
+    # NHWC XLA fallback between the CT in_conv and decoder kernels
+    if w % 128 != 0 or h % 2 != 0:
         return False
     if not _mesh_eligible(x_shape, "eval"):
         return False
@@ -144,23 +147,31 @@ def ct_fast_path_supported(
     cin = cfg.in_channels
     # per-stage tile fit, probed with the exact out_c values the apply path
     # uses: in_conv (cin -> f -> f), down1 (f -> 2f -> 2f at half
-    # resolution), decoder (f + 2fs/2 -> ~in/2 -> f, fused out-conv with
-    # align8(out_channels) — or align8(f) on the mc-dropout final-dropout
-    # branch, which skips the fused 1x1)
+    # resolution, only when aligned), decoder (f + 2fs/2 -> ~in/2 -> f,
+    # fused out-conv with align8(out_channels) — or align8(f) on the
+    # mc-dropout final-dropout branch, which skips the fused 1x1)
     dec_c2 = 2 * fs // cfg.factor
     mid_c = (f + dec_c2) // 2  # decoder mid = in_channels // 2
-    if mc_dropout and cfg.final_dropout_rate > 0:
-        dec_out_c = align8(f)
+    if mc_dropout and (cfg.final_dropout_rate > 0
+                       or cfg.decoder_dropout_rate > 0):
+        dec_out_c = align8(f)  # unfused-1x1 branch
     else:
         dec_out_c = align8(cfg.out_channels)
     ok = (
         pick_th(h, w, cin, 0, f, f, align8(f)) is not None
-        and pick_th(h // 2, w // 2, align8(f), 0, 2 * f, 2 * f,
-                    align8(2 * f)) is not None
         and pick_th(h, w, align8(f), align8(dec_c2),
                     mid_c, f, dec_out_c) is not None
     )
+    if ok and _ct_down1_aligned(h, w):
+        ok = pick_th(h // 2, w // 2, align8(f), 0, 2 * f, 2 * f,
+                     align8(2 * f)) is not None
     return ok
+
+
+def _ct_down1_aligned(h: int, w: int) -> bool:
+    """True when the half-resolution down1 stage can run its CT kernel
+    (lane offsets inside the kernel are multiples of w//2)."""
+    return (w // 2) % 128 == 0 and (h // 2) % 2 == 0
 
 
 def _fold_dc(conv1, bn1_p, bn1_s, conv2, bn2_p, bn2_s, blocks_split=None):
@@ -230,14 +241,56 @@ def _upsample_ct_x2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
 # eval path sections (shard_map bodies; batch axis explicit at boundaries)
 
 
-def _enc_eval_local(enc_p, enc_s, x, *, cfg, interpret):
+def _mc_scale_ct(key, rate, s, b, c, c_pad):
+    """Per-(subnetwork, image, channel) Dropout2d scale in CT layout.
+
+    Draws the masks exactly as the XLA path's ``dropout2d`` does — per
+    subnetwork key, ``bernoulli(k, keep, (b, 1, 1, c))`` — so CT MC-dropout
+    outputs match the NHWC path bitwise for a shared rng.  Returns
+    [c_pad, s*b] f32 (0 or 1/keep; pad rows zero)."""
+    keep = 1.0 - rate
+    masks = jax.vmap(
+        lambda k: jax.random.bernoulli(k, keep, (b, 1, 1, c))
+    )(key)  # [s, b, 1, 1, c]
+    scale = masks[:, :, 0, 0, :].astype(jnp.float32) / keep  # [s, b, c]
+    scale_ct = jnp.transpose(scale, (2, 0, 1)).reshape(c, s * b)
+    if c_pad != c:
+        scale_ct = jnp.pad(scale_ct, ((0, c_pad - c), (0, 0)))
+    return scale_ct
+
+
+def _apply_mc_scale(x, scale_ct, hw):
+    """Multiply CT activations [c, n*hw] by per-(channel, image) scales
+    (f32 multiply, output dtype preserved — matches the XLA ``x / keep``
+    to 1 ulp)."""
+    c, total = x.shape
+    n = scale_ct.shape[1]
+    y = x.reshape(c, n, hw).astype(jnp.float32) * scale_ct[:, :, None]
+    return y.astype(x.dtype).reshape(c, total)
+
+
+def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
+                    axis):
     """Per-device eval encoder: x [b, S, H, W, Cin] ->
-    (x1s [fa, S, b, H, W], x2s [align8(2f), S, b, H/2, W/2])."""
+    (x1s [fa, S, b, H, W], x2s [align8(2f), S, b, H/2, W/2]).
+
+    With ``mc_dropout`` and a spatial encoder rate, the Dropout2d sites at
+    each DoubleConv end (reference components.py:29) apply as per-(image,
+    channel) scales on the kernel outputs — valid through the following
+    max-pool because the scale is a nonnegative per-channel constant."""
     b, s, h, w, cin = x.shape
     f = cfg.filter_base_count
     fa = align8(f)
     n = s * b
     cdt = jnp.bfloat16
+
+    mc_spatial = mc_dropout and cfg.encoder_dropout_rate > 0
+    if mc_spatial:
+        if axis is not None:
+            k_enc = jax.random.fold_in(k_enc, lax.axis_index(axis))
+        ks = jax.vmap(
+            lambda k: tuple(jax.random.split(k))
+        )(jax.random.split(k_enc, s))  # per-s (k1, k2), XLA-path order
 
     # ---- to CT (S-major image order to match grouped weights) -------------
     xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
@@ -248,60 +301,114 @@ def _enc_eval_local(enc_p, enc_s, x, *, cfg, interpret):
         enc_p["in_conv"]["conv2"], enc_p["in_conv"]["bn2"], enc_s["in_conv"]["bn2"],
     )
     th = pick_th(h, w, cin, 0, f, f, fa)
-    x1s, hpooled = fused_double_conv_ct(
+    down1_ct = _ct_down1_aligned(h, w)
+    out = fused_double_conv_ct(
         xct, w1p, s1, sh1, w2p, s2, sh2,
-        h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=True,
+        h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=down1_ct,
         interpret=interpret,
     )  # x1s [fa, n*h*w] (decoder skip); hpooled = H-half of the 2x2 pool
-
-    # ---- down1: pool -> (f -> 2f -> 2f) at (h/2, w/2) ----------------------
     h2, w2 = h // 2, w // 2
-    pooled = _wpool_ct(hpooled, w)  # [fa, n*h2*w2]
-    d1c1, d1c2 = enc_p["down1"]["conv1"], enc_p["down1"]["conv2"]
-    s1, sh1 = fold_bn_eval(d1c1["b"], enc_p["down1"]["bn1"],
-                           enc_s["down1"]["bn1"])
-    s2, sh2 = fold_bn_eval(d1c2["b"], enc_p["down1"]["bn2"],
-                           enc_s["down1"]["bn2"])
-    # ``pooled`` carries fa channels (pad rows exact zeros) so the slab DMA
-    # stays sublane-aligned; widen conv1's input channels with zero rows
-    def pack_down1(wg):
-        wide = jnp.zeros((3, 3, fa, 2 * f), wg.dtype).at[:, :, :f].set(wg)
-        return pack_w3x3([wide])
+    f2 = 2 * f
 
-    w1p = jnp.stack([pack_down1(d1c1["w"][g]) for g in range(s)])
-    w2p = jnp.stack([pack_w3x3([d1c2["w"][g]]) for g in range(s)])
-    x2s = fused_double_conv_ct(
-        pooled, w1p, s1, sh1, w2p, s2, sh2,
-        h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
-        c1=fa, m=2 * f, o=2 * f, interpret=interpret,
-    )  # [align8(2f), n*h2*w2]
-    return (x1s.reshape(fa, s, b, h, w),
-            x2s.reshape(x2s.shape[0], s, b, h2, w2))
+    if down1_ct:
+        # ---- down1 (CT): pool -> (f -> 2f -> 2f) at (h/2, w/2) -------------
+        x1s, hpooled = out
+        if mc_spatial:
+            sc1 = _mc_scale_ct(ks[0], cfg.encoder_dropout_rate, s, b, f, fa)
+            x1s = _apply_mc_scale(x1s, sc1, h * w)
+            # scale commutes with the fused H-max (nonnegative per-channel
+            # constant; bf16 rounding is monotone)
+            hpooled = _apply_mc_scale(hpooled, sc1, (h // 2) * w)
+        pooled = _wpool_ct(hpooled, w)  # [fa, n*h2*w2]
+        d1c1, d1c2 = enc_p["down1"]["conv1"], enc_p["down1"]["conv2"]
+        s1, sh1 = fold_bn_eval(d1c1["b"], enc_p["down1"]["bn1"],
+                               enc_s["down1"]["bn1"])
+        s2, sh2 = fold_bn_eval(d1c2["b"], enc_p["down1"]["bn2"],
+                               enc_s["down1"]["bn2"])
+        # ``pooled`` carries fa channels (pad rows exact zeros) so the slab
+        # DMA stays sublane-aligned; widen conv1's inputs with zero rows
+        def pack_down1(wg):
+            wide = jnp.zeros((3, 3, fa, 2 * f), wg.dtype).at[:, :, :f].set(wg)
+            return pack_w3x3([wide])
+
+        w1p = jnp.stack([pack_down1(d1c1["w"][g]) for g in range(s)])
+        w2p = jnp.stack([pack_w3x3([d1c2["w"][g]]) for g in range(s)])
+        x2s = fused_double_conv_ct(
+            pooled, w1p, s1, sh1, w2p, s2, sh2,
+            h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
+            c1=fa, m=2 * f, o=2 * f, interpret=interpret,
+        )  # [align8(2f), n*h2*w2]
+        if mc_spatial:
+            sc2 = _mc_scale_ct(ks[1], cfg.encoder_dropout_rate, s, b, f2,
+                               x2s.shape[0])
+            x2s = _apply_mc_scale(x2s, sc2, h2 * w2)
+        x2s5 = x2s.reshape(x2s.shape[0], s, b, h2, w2)
+    else:
+        # ---- down1 (NHWC fallback): half width is not lane-block aligned
+        # (e.g. 640/2 = 320) — run the vmapped XLA Down block instead
+        # (reference model.py:167-173 down1s), then return to CT layout
+        from mimo_unet_tpu.models.blocks import down_apply
+
+        x1s = out
+        if mc_spatial:
+            sc1 = _mc_scale_ct(ks[0], cfg.encoder_dropout_rate, s, b, f, fa)
+            x1s = _apply_mc_scale(x1s, sc1, h * w)
+        x1_nhwc = jnp.transpose(
+            x1s[:f].reshape(f, s, b, h, w), (1, 2, 3, 4, 0))  # [s,b,h,w,f]
+        d1_keys = (ks[1] if mc_spatial
+                   else jax.random.split(jax.random.key(0), s))
+
+        def down1_one(p, st, xs, k):
+            (x2, _), _ = down_apply(
+                p, st, xs, train=False, compute_dtype=jnp.bfloat16,
+                dropout_rate=cfg.encoder_dropout_rate if mc_spatial else 0.0,
+                dropout_key=k, mc_dropout=mc_dropout)
+            return x2
+
+        x2 = jax.vmap(down1_one)(enc_p["down1"], enc_s["down1"], x1_nhwc,
+                                 d1_keys)
+        x2s5 = jnp.transpose(x2, (4, 0, 1, 2, 3))  # [2f, s, b, h2, w2]
+        f2a = align8(f2)
+        if f2a != f2:
+            x2s5 = jnp.pad(
+                x2s5, ((0, f2a - f2), (0, 0), (0, 0), (0, 0), (0, 0)))
+
+    return x1s.reshape(fa, s, b, h, w), x2s5
 
 
-def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_final, *, cfg, mc_dropout,
+def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, mc_dropout,
                     interpret, axis):
     """Per-device eval decoder: fused upsample-concat DoubleConv + 1x1
     out-conv.  x1s5 [fa, S, b, H, W], x_up [b, H/2, W/2, c_up] NHWC ->
-    logits [b, S, H, W, out_channels] f32."""
+    logits [b, S, H, W, out_channels] f32.
+
+    MC-dropout sites (reference model.py:281, components.py:29): the
+    spatial Dropout2d after the up4 DoubleConv applies as a per-(image,
+    channel) scale between the fused kernel and the 1x1 out-conv; the
+    elementwise final dropout likewise (they are mutually exclusive by
+    config)."""
     fa, s, b, h, w = x1s5.shape
     f = cfg.filter_base_count
     h2, w2 = h // 2, w // 2
     cdt = jnp.bfloat16
     x1s = x1s5.reshape(fa, -1)
 
-    c_up = x_up.shape[-1]
-    c_up_a = align8(c_up)
-    xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))  # [c_up, b, h2, w2]
-    if c_up_a != c_up:
-        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
-    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
-
     conv1 = dec_p["up4"]["conv"]["conv1"]
     conv2 = dec_p["up4"]["conv"]["conv2"]
     bn1_p, bn2_p = dec_p["up4"]["conv"]["bn1"], dec_p["up4"]["conv"]["bn2"]
     bn1_s, bn2_s = dec_s["up4"]["conv"]["bn1"], dec_s["up4"]["conv"]["bn2"]
     mid_c = conv1["w"].shape[4]
+    # real upsampled channel count comes from the weights — x_up may arrive
+    # already align8'd with exact-zero pad channels (_pad_core_up3)
+    c_up_real = conv1["w"].shape[3] - f
+    c_up = x_up.shape[-1]
+    c_up_a = align8(c_up_real)
+    assert c_up in (c_up_real, c_up_a)
+    xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))  # [c_up, b, h2, w2]
+    if c_up_a != c_up:
+        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
+    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
+
     s1, sh1 = fold_bn_eval(conv1["b"], bn1_p, bn1_s)
     s2, sh2 = fold_bn_eval(conv2["b"], bn2_p, bn2_s)
 
@@ -312,7 +419,7 @@ def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_final, *, cfg, mc_dropout,
         skip_blk = jnp.zeros((3, 3, fa, mid_c), wg.dtype).at[:, :, :f].set(
             wg[:, :, :f])
         up_blk = jnp.zeros((3, 3, c_up_a, mid_c), wg.dtype).at[
-            :, :, :c_up].set(wg[:, :, f:])
+            :, :, :c_up_real].set(wg[:, :, f:])
         return pack_w3x3([skip_blk, up_blk])
 
     w1p = jnp.stack([pack_dec(conv1["w"][g]) for g in range(s)])
@@ -322,7 +429,8 @@ def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_final, *, cfg, mc_dropout,
     oc = outc["w"].shape[4]
     oca = align8(oc)
     final_dropout = mc_dropout and cfg.final_dropout_rate > 0
-    if not final_dropout:
+    dec_spatial = mc_dropout and cfg.decoder_dropout_rate > 0
+    if not (final_dropout or dec_spatial):
         wo = jnp.zeros((s, f, oca), jnp.float32).at[:, :, :oc].set(
             outc["w"][:, 0, 0])
         bo = jnp.zeros((s, oca), jnp.float32).at[:, :oc].set(outc["b"])
@@ -334,22 +442,35 @@ def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_final, *, cfg, mc_dropout,
             wo=wo, bo=bo, interpret=interpret,
         )  # [oca, n*h*w]
     else:
-        # final dropout (reference model.py:281) sits between up4 and the
-        # out-conv: run the kernel without the fused 1x1, drop out, then
-        # the grouped 1x1 kernel.  Per-device masks must be independent
-        # under a mesh, so the key is folded with the device index.
+        # a live dropout site sits between up4's DoubleConv and the
+        # out-conv (final: reference model.py:281 elementwise; spatial:
+        # components.py:29 Dropout2d at the DoubleConv end): run the
+        # kernel without the fused 1x1, drop out, then the grouped 1x1
+        # kernel.  Per-device masks must be independent under a mesh, so
+        # the key is folded with the device index.
         from mimo_unet_tpu.ops.dropout import dropout as _dropout
         from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_ct
 
         if axis is not None:
-            k_final = jax.random.fold_in(k_final, lax.axis_index(axis))
+            k_dec = jax.random.fold_in(k_dec, lax.axis_index(axis))
         y = fused_double_conv_ct(
             x1s, w1p, s1, sh1, w2p, s2, sh2,
             h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f)),
             c1=fa, m=mid_c, o=f,
             x2=xup_ct, c2=c_up_a, n2_images=b, interpret=interpret,
         )  # [fa, n*h*w]
-        y = _dropout(y, cfg.final_dropout_rate, k_final, deterministic=False)
+        if dec_spatial:
+            # per-s keys in the XLA path's order (decoder_one: k1 = the
+            # Dropout2d site) so masks match the NHWC path bitwise
+            ks = jax.vmap(
+                lambda k: tuple(jax.random.split(k))
+            )(jax.random.split(k_dec, s))
+            sc = _mc_scale_ct(ks[0], cfg.decoder_dropout_rate, s, b, f, fa)
+            y = _apply_mc_scale(y, sc, h * w)
+        else:
+            k_final = jax.random.fold_in(k_dec, 0)
+            y = _dropout(y, cfg.final_dropout_rate, k_final,
+                         deterministic=False)
         wo1 = jnp.zeros((s, f, oca)).at[:, :, :oc].set(outc["w"][:, 0, 0])
         bo1 = jnp.zeros((s, oca, 1)).at[:, :oc, 0].set(outc["b"])
         out = conv1x1_ct(y.astype(cdt), wo1, bo1, f, s, interpret)
@@ -384,41 +505,48 @@ def mimo_unet_apply_ct(
     f = cfg.filter_base_count
     if rng is None:
         rng = jax.random.key(0)
-    k_core, k_final = jax.random.split(rng)
+    # same 3-way split as the XLA path (mimo_unet_apply), so MC-dropout
+    # masks on every shared site match the NHWC path bitwise
+    k_enc, k_core, k_dec = jax.random.split(rng, 3)
     mesh, axis = _active_ct_mesh(x.shape, "eval")
 
-    enc = partial(_enc_eval_local, cfg=cfg, interpret=interpret)
+    enc = partial(_enc_eval_local, cfg=cfg, mc_dropout=mc_dropout,
+                  interpret=interpret, axis=axis)
     dec = partial(_dec_eval_local, cfg=cfg, mc_dropout=mc_dropout,
                   interpret=interpret, axis=axis)
     if mesh is None:
-        x1s5, x2s5 = enc(params["encoder"], state["encoder"], x)
+        x1s5, x2s5 = enc(params["encoder"], state["encoder"], x, k_enc)
     else:
         x1s5, x2s5 = jax.shard_map(
             enc, mesh=mesh,
-            in_specs=(P(), P(), P(axis)),
+            in_specs=(P(), P(), P(axis), P()),
             out_specs=(P(None, None, axis), P(None, None, axis)),
             check_vma=False,
-        )(params["encoder"], state["encoder"], x)
+        )(params["encoder"], state["encoder"], x, k_enc)
 
     # ---- core (NHWC): subnetwork-major channel concat ----------------------
     f2 = 2 * f
     h2, w2 = h // 2, w // 2
     x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
         b, h2, w2, s * f2)
+    # (Padding up3.conv2 to align8 out-channels — so the decoder's channel
+    # pad disappears and the 42-of-128-lane conv fills lanes — saved 0.85 ms
+    # in isolation but DID NOT compose end-to-end: 1703.7 -> 1702.2
+    # patches/s, reverted.  experiments/exp_core_glue.py, PERFORMANCE.md.)
     x_up, _ = core_apply(
         params["core"], state["core"], x2_concat, cfg, train=False,
         rng=k_core, mc_dropout=mc_dropout, dropout_active=mc_dropout,
     )  # [b, h2, w2, 2fs/factor] NHWC
 
     if mesh is None:
-        logits = dec(params["decoder"], state["decoder"], x1s5, x_up, k_final)
+        logits = dec(params["decoder"], state["decoder"], x1s5, x_up, k_dec)
     else:
         logits = jax.shard_map(
             dec, mesh=mesh,
             in_specs=(P(), P(), P(None, None, axis), P(axis), P()),
             out_specs=P(axis),
             check_vma=False,
-        )(params["decoder"], state["decoder"], x1s5, x_up, k_final)
+        )(params["decoder"], state["decoder"], x1s5, x_up, k_dec)
     # eval mode: BatchNorm running stats are unchanged
     return logits, state
 
@@ -452,9 +580,52 @@ def ct_train_path_supported(
     if len(x_shape) != 5:
         return False
     h, w = x_shape[2], x_shape[3]
-    if not (w % 256 == 0 and h % 32 == 0):
+    # lane offsets inside the kernels are multiples of w: need
+    # w % 128 == 0 and a viable tile height.  down1's CT kernels need the
+    # HALF resolution aligned too (w % 256, h % 32); otherwise down1 falls
+    # back to the vmapped NHWC XLA Down block (640x480 NYUv2 frames).
+    if not (w % 128 == 0 and h % 16 == 0):
         return False
-    return _mesh_eligible(x_shape, "train")
+    if not _mesh_eligible(x_shape, "train"):
+        return False
+    # probe pick_th_train with the exact stage channel counts the apply
+    # path uses (ADVICE r2: probe what you run) — wide stages step down to
+    # th=8 (640px decoder conv1), and None means no tile fits at all
+    from mimo_unet_tpu.ops.pallas.ct_train import pick_th_train
+
+    f = cfg.filter_base_count
+    fa, f2 = align8(f), 2 * f
+    dec_c2 = 2 * f * cfg.num_subnetworks // cfg.factor
+    mid_c = (f + dec_c2) // 2
+    stages = [
+        (h, w, cfg.in_channels, 0, f),            # in_conv conv1
+        (h, w, fa, 0, f),                         # in_conv conv2
+        (h, w, fa, align8(dec_c2), mid_c),        # decoder conv1
+        (h, w, align8(mid_c), 0, f),              # decoder conv2
+    ]
+    if _ct_train_down1_aligned(h, w):
+        stages += [(h // 2, w // 2, fa, 0, f2),   # down1 conv1
+                   (h // 2, w // 2, align8(f2), 0, f2)]  # down1 conv2
+    if any(pick_th_train(*st) is None for st in stages):
+        return False
+    if not _ct_train_down1_aligned(h, w):
+        # the XLA fallback computes down1's BatchNorm batch statistics with
+        # plain jnp reductions, which are per-device inside shard_map —
+        # under a >1-device mesh only the fully-aligned CT path (psum'd
+        # stats) preserves global-batch BN, so gate off instead
+        mesh, _ = _active_ct_mesh(x_shape, "train")
+        if mesh is not None:
+            _warn_once(
+                "train-mixed-mesh",
+                f"CT train kernels disabled: {h}x{w} needs the down1 XLA "
+                "fallback, which is not mesh-safe; using the XLA path",
+            )
+            return False
+    return True
+
+
+def _ct_train_down1_aligned(h: int, w: int) -> bool:
+    return (w // 2) % 128 == 0 and (h // 2) % 16 == 0
 
 
 def _bn_affine_from_stats(s, q, count, conv_b, bn_p, bn_s,
@@ -561,7 +732,7 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     f2 = 2 * f
     f2a = align8(f2)
     n = s * b
-    th = 16
+    from mimo_unet_tpu.ops.pallas.ct_train import pick_th_train
     cdt = jnp.bfloat16
     new_enc = {"in_conv": {}, "down1": {}}
 
@@ -579,7 +750,7 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     w1p = jnp.stack([pack_w3x3([ic["conv1"]["w"][g]]) for g in range(s)])
     y1, s1, q1 = conv3x3_ct_train(
         xct, None, w1p.astype(cdt), None, None,
-        h, w, th, cin, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, cin, 0, f), cin, 0, f, 0, interpret)
     s1, q1 = _psum_stats(s1, q1, axis)
     sc1, sh1, new_enc["in_conv"]["bn1"] = _bn_affine_from_stats(
         s1, q1, cnt_full, ic["conv1"]["b"], ic["bn1"], enc_s["in_conv"]["bn1"])
@@ -589,7 +760,7 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     y2, s2, q2 = conv3x3_ct_train(
         y1, None, w2p.astype(cdt), _prologue_cols([(sc1, f)], fa),
         _prologue_cols([(sh1, f)], fa),
-        h, w, th, fa, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, fa, 0, f), fa, 0, f, 0, interpret)
     s2, q2 = _psum_stats(s2, q2, axis)
     sc2, sh2, new_enc["in_conv"]["bn2"] = _bn_affine_from_stats(
         s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
@@ -597,34 +768,59 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     # skip connection + pool input: z2 = relu(affine2(y2)), group-blocked
     x1s = apply_affine(y2, sc2, sh2, f)  # [fa, n*h*w]
     h2, w2 = h // 2, w // 2
-    pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
 
-    # ---- down1 -------------------------------------------------------------
-    d1 = enc_p["down1"]
-    w3p = jnp.stack([pack_w3x3([widen(d1["conv1"]["w"][g], f, fa, f2)])
-                     for g in range(s)])
-    y3, s3, q3 = conv3x3_ct_train(
-        pooled, None, w3p.astype(cdt), None, None,
-        h2, w2, th, fa, 0, f2, 0, interpret)
-    s3, q3 = _psum_stats(s3, q3, axis)
-    sc3, sh3, new_enc["down1"]["bn1"] = _bn_affine_from_stats(
-        s3, q3, cnt_half, d1["conv1"]["b"], d1["bn1"], enc_s["down1"]["bn1"])
+    if _ct_train_down1_aligned(h, w):
+        # ---- down1 (CT kernels) --------------------------------------------
+        pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
+        d1 = enc_p["down1"]
+        w3p = jnp.stack([pack_w3x3([widen(d1["conv1"]["w"][g], f, fa, f2)])
+                         for g in range(s)])
+        y3, s3, q3 = conv3x3_ct_train(
+            pooled, None, w3p.astype(cdt), None, None,
+            h2, w2, pick_th_train(h2, w2, fa, 0, f2), fa, 0, f2, 0,
+            interpret)
+        s3, q3 = _psum_stats(s3, q3, axis)
+        sc3, sh3, new_enc["down1"]["bn1"] = _bn_affine_from_stats(
+            s3, q3, cnt_half, d1["conv1"]["b"], d1["bn1"],
+            enc_s["down1"]["bn1"])
 
-    w4p = jnp.stack([pack_w3x3([widen(d1["conv2"]["w"][g], f2, f2a, f2)])
-                     for g in range(s)]) if f2a != f2 else jnp.stack(
-        [pack_w3x3([d1["conv2"]["w"][g]]) for g in range(s)])
-    y4, s4, q4 = conv3x3_ct_train(
-        y3, None, w4p.astype(cdt), _prologue_cols([(sc3, f2)], f2a),
-        _prologue_cols([(sh3, f2)], f2a),
-        h2, w2, th, f2a, 0, f2, 0, interpret)
-    s4, q4 = _psum_stats(s4, q4, axis)
-    sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
-        s4, q4, cnt_half, d1["conv2"]["b"], d1["bn2"], enc_s["down1"]["bn2"])
-    x2s = apply_affine(y4, sc4, sh4, f2)  # [f2a, n*h2*w2]
+        w4p = jnp.stack([pack_w3x3([widen(d1["conv2"]["w"][g], f2, f2a, f2)])
+                         for g in range(s)]) if f2a != f2 else jnp.stack(
+            [pack_w3x3([d1["conv2"]["w"][g]]) for g in range(s)])
+        y4, s4, q4 = conv3x3_ct_train(
+            y3, None, w4p.astype(cdt), _prologue_cols([(sc3, f2)], f2a),
+            _prologue_cols([(sh3, f2)], f2a),
+            h2, w2, pick_th_train(h2, w2, f2a, 0, f2), f2a, 0, f2, 0,
+            interpret)
+        s4, q4 = _psum_stats(s4, q4, axis)
+        sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
+            s4, q4, cnt_half, d1["conv2"]["b"], d1["bn2"],
+            enc_s["down1"]["bn2"])
+        x2s = apply_affine(y4, sc4, sh4, f2)  # [f2a, n*h2*w2]
+        x2s5 = x2s.reshape(f2a, s, b, h2, w2)
+    else:
+        # ---- down1 (NHWC fallback, half width unaligned: 640x480 frames) ---
+        # the vmapped XLA Down block with train-mode BatchNorm (global-batch
+        # stats via jnp reductions — single-device only, see the gate)
+        from mimo_unet_tpu.models.blocks import down_apply
 
-    return (x1s.reshape(fa, s, b, h, w),
-            x2s.reshape(f2a, s, b, h2, w2),
-            new_enc)
+        x1_nhwc = jnp.transpose(
+            x1s.reshape(fa, s, b, h, w)[:f], (1, 2, 3, 4, 0))
+
+        def down1_one(p, st, xs):
+            (x2, _), new_st = down_apply(p, st, xs, train=True,
+                                         compute_dtype=cdt)
+            return x2, new_st
+
+        x2, d1_state = jax.vmap(down1_one)(
+            enc_p["down1"], enc_s["down1"], x1_nhwc)
+        new_enc["down1"] = d1_state
+        x2s5 = jnp.transpose(x2, (4, 0, 1, 2, 3))  # [2f, s, b, h2, w2]
+        if f2a != f2:
+            x2s5 = jnp.pad(
+                x2s5, ((0, f2a - f2), (0, 0), (0, 0), (0, 0), (0, 0)))
+
+    return x1s.reshape(fa, s, b, h, w), x2s5, new_enc
 
 
 def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
@@ -637,7 +833,7 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     fa, s, b, h, w = x1s5.shape
     f = cfg.filter_base_count
     h2, w2 = h // 2, w // 2
-    th = 16
+    from mimo_unet_tpu.ops.pallas.ct_train import pick_th_train
     cdt = jnp.bfloat16
     x1s = x1s5.reshape(fa, -1)
     new_dec = {"up4": {"conv": {}}}
@@ -667,7 +863,8 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     w5p = jnp.stack([pack_dec(up4["conv1"]["w"][g]) for g in range(s)])
     y5, s5, q5 = conv3x3_ct_train(
         x1s, xup_ct, w5p.astype(cdt), None, None,
-        h, w, th, fa, c_up_a, mid_c, b, interpret)
+        h, w, pick_th_train(h, w, fa, c_up_a, mid_c), fa, c_up_a, mid_c, b,
+        interpret)
     s5, q5 = _psum_stats(s5, q5, axis)
     sc5, sh5, new_dec["up4"]["conv"]["bn1"] = _bn_affine_from_stats(
         s5, q5, cnt_full, up4["conv1"]["b"], up4["bn1"],
@@ -679,7 +876,7 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     y6, s6, q6 = conv3x3_ct_train(
         y5, None, w6p.astype(cdt), _prologue_cols([(sc5, mid_c)], mid_a),
         _prologue_cols([(sh5, mid_c)], mid_a),
-        h, w, th, mid_a, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, mid_a, 0, f), mid_a, 0, f, 0, interpret)
     s6, q6 = _psum_stats(s6, q6, axis)
     sc6, sh6, new_dec["up4"]["conv"]["bn2"] = _bn_affine_from_stats(
         s6, q6, cnt_full, up4["conv2"]["b"], up4["bn2"],

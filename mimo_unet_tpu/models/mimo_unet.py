@@ -302,16 +302,19 @@ def core_apply(
         params["up1"], state["up1"], x5, x4, ind5,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[4], mc_dropout=mc_dropout, compute_dtype=cdt,
+        split_skip_conv=True,
     )
     x_up, core_st["up2"] = up_apply(
         params["up2"], state["up2"], x_up, x3, ind4,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[5], mc_dropout=mc_dropout, compute_dtype=cdt,
+        split_skip_conv=True,
     )
     x_up, core_st["up3"] = up_apply(
         params["up3"], state["up3"], x_up, x2_concat, ind3,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[6], mc_dropout=mc_dropout, compute_dtype=cdt,
+        split_skip_conv=True,
     )
     return x_up, core_st
 

@@ -560,6 +560,40 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     return dwp
 
 
+def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
+    """Rough scoped-VMEM bytes for the train conv family at tile height
+    ``th``.  The dx backward kernel dominates: its f32 plane scratch spans
+    3*cp rows of (th+2)*w lanes, plus double-buffered in/out slabs.
+    (Measured anchor: decoder conv1 at cp=72, oa=32, th=16, w=640
+    allocates 20.99 MiB against the 16 MiB scoped limit.)"""
+    cp = align8(c1) + (align8(c2) if c2 else 0)
+    oa = align8(o)
+    r2w = (th + 2) * w
+    dx = (3 * oa * r2w * 2          # g column scratch (bf16)
+          + 3 * cp * r2w * 4        # dx plane scratch (f32)
+          + 2 * cp * th * w * 4     # dx out block, double-buffered
+          + 2 * oa * (th + 6) * w * 2   # g in slab (halo), double-buffered
+          + 2 * cp * th * w * 2)    # x1 prologue slab, double-buffered
+    fwd = (3 * cp * th * w * 2 + 3 * oa * th * w * 4
+           + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2)
+    dw = (3 * cp * th * w * 2 + 3 * oa * th * w * 2
+          + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2)
+    return max(dx, fwd, dw)
+
+
+def pick_th_train(h: int, w: int, c1: int, c2: int, o: int,
+                  budget: int = 15 * 2 ** 20) -> Optional[int]:
+    """Largest tile height whose train fwd+bwd kernels fit scoped VMEM.
+
+    Starts at 16 (the measured-optimal tile for the 256-px flagship) and
+    steps down for wide/deep stages — e.g. 640-wide NYUv2 frames need
+    th=8 on the decoder conv1 (cp=72)."""
+    for th in (16, 8, 4):
+        if h % th == 0 and estimate_vmem_train(th, w, c1, c2, o) <= budget:
+            return th
+    return None
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP composite
 

@@ -199,6 +199,49 @@ class TestFastPathForward:
         assert jax.tree.all(jax.tree.map(
             lambda a, b: bool(jnp.all(a == b)), new_state, state))
 
+    def test_w640_mixed_path_matches_reference(self):
+        """w % 128 (not 256): in_conv + decoder run the CT kernels, down1
+        runs the NHWC fallback (640/2 = 320 is not lane-block aligned) —
+        the NYUv2 whole-frame shape class (reference nyuv2.py:20-24)."""
+        cfg = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, compute_dtype="bfloat16")
+        params, state = mimo_unet_init(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (1, 2, 16, 640, 3))
+        from mimo_unet_tpu.models.fast_path import _ct_down1_aligned
+        assert not _ct_down1_aligned(16, 640)
+        ref, _ = mimo_unet_apply(params, state, x, cfg, train=False)
+        out, _ = mimo_unet_apply_ct(params, state, x, cfg, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-2 * scale)
+
+    def test_mc_spatial_dropout_matches_xla_masks(self):
+        """The documented MC recipe (encoder/core/decoder_dropout_rate 0.1,
+        reference Readme.md:82): CT-path Dropout2d masks are drawn with the
+        XLA path's exact keys, so with a shared rng the two paths must
+        agree (bf16 kernel tolerance) — including which channels dropped."""
+        cfg = MimoUNetConfig(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=6, compute_dtype="bfloat16",
+            encoder_dropout_rate=0.1, core_dropout_rate=0.1,
+            decoder_dropout_rate=0.1)
+        params, state = mimo_unet_init(jax.random.key(0), cfg)
+        x = jax.random.uniform(jax.random.key(1), (2, 2, 16, 256, 3))
+        rng = jax.random.key(7)
+        ref, _ = mimo_unet_apply(params, state, x, cfg, train=False,
+                                 rng=rng, mc_dropout=True)
+        out, _ = mimo_unet_apply_ct(params, state, x, cfg, rng=rng,
+                                    mc_dropout=True, interpret=True)
+        scale = float(jnp.max(jnp.abs(ref)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-2 * scale)
+        # and it is genuinely stochastic across keys
+        out2, _ = mimo_unet_apply_ct(params, state, x, cfg,
+                                     rng=jax.random.key(8),
+                                     mc_dropout=True, interpret=True)
+        assert float(jnp.max(jnp.abs(out2 - out))) > 1e-3
+
     def test_eligibility_gates(self):
         cfg = MimoUNetConfig(
             in_channels=3, out_channels=2, num_subnetworks=2,
@@ -216,14 +259,20 @@ class TestFastPathForward:
         # train / spatial-dropout-mc / f32 / bad width all fall back
         assert not ct_fast_path_supported(
             force, shape, train=True, mc_dropout=False)
-        # mc-dropout IS supported when only center/final dropout exist...
+        # mc-dropout is supported for the center/final sites...
         assert ct_fast_path_supported(
             force, shape, train=False, mc_dropout=True)
-        # ...but not with spatial dropout inside the fused DoubleConvs
+        # ...and (since round 3) for the spatial Dropout2d sites of the
+        # documented MC recipe (reference Readme.md:82)
         import dataclasses
-        spatial = dataclasses.replace(force, encoder_dropout_rate=0.1)
-        assert not ct_fast_path_supported(
+        spatial = dataclasses.replace(
+            force, encoder_dropout_rate=0.1, core_dropout_rate=0.1,
+            decoder_dropout_rate=0.1)
+        assert ct_fast_path_supported(
             spatial, shape, train=False, mc_dropout=True)
+        # w % 128 == 0 suffices (640-wide NYUv2 frames; down1 falls back)
+        assert ct_fast_path_supported(
+            force, (2, 2, 16, 640, 3), train=False, mc_dropout=False)
         f32 = MimoUNetConfig(
             in_channels=3, out_channels=2, num_subnetworks=2,
             filter_base_count=6, ct_kernels="force")

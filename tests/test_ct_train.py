@@ -183,6 +183,62 @@ class TestTrainFastPath:
         assert cos_ct.min() > cos_ref.min() - 0.15
         assert cos_ct.mean() > cos_ref.mean() - 0.05
 
+    def test_w640_mixed_path_forward_and_grads(self, setup):
+        """w % 128 (not 256): down1 runs the vmapped NHWC fallback inside
+        the CT train path (the 640-wide NYUv2 frame class).  Forward/state
+        and gradients bound against the f32 truth like the aligned case."""
+        cfg16, cfg32, params, state, *_ = setup
+        from mimo_unet_tpu.models.fast_path import _ct_train_down1_aligned
+        assert not _ct_train_down1_aligned(32, 640)
+        # h=32 (not 16): h=16 collapses down4 to one pixel row, where even
+        # the f32 XLA reference produces NaN BN-scale grads (degenerate
+        # upsample-from-1) — a model-level property, not a CT one
+        x = jax.random.uniform(jax.random.key(5), (1, 2, 32, 640, 3))
+        y = jax.random.uniform(jax.random.key(6), (1, 2, 32, 640, 1))
+
+        ref32, _ = mimo_unet_apply(params, state, x, cfg32, train=True,
+                                   rng=jax.random.key(3))
+        ref16, st_ref = mimo_unet_apply(params, state, x, cfg16, train=True,
+                                        rng=jax.random.key(3))
+        out, st_ct = mimo_unet_apply_ct_train(
+            params, state, x, cfg16, rng=jax.random.key(3), interpret=True)
+        e_ref = float(np.mean(np.abs(np.asarray(ref16) - np.asarray(ref32))))
+        e_ct = float(np.mean(np.abs(np.asarray(out) - np.asarray(ref32))))
+        assert e_ct < 1.3 * e_ref + 1e-4
+        errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                            st_ref, st_ct)
+        assert max(jax.tree.leaves(errs)) < 5e-3
+
+        def loss(apply_fn):
+            def f(p):
+                out, _ = apply_fn(p)
+                return jnp.mean((out - y) ** 2)
+            return f
+
+        g32 = jax.grad(loss(lambda p: mimo_unet_apply(
+            p, state, x, cfg32, train=True, rng=jax.random.key(3))))(params)
+        g16 = jax.grad(loss(lambda p: mimo_unet_apply(
+            p, state, x, cfg16, train=True, rng=jax.random.key(3))))(params)
+        gct = jax.grad(loss(lambda p: mimo_unet_apply_ct_train(
+            p, state, x, cfg16, rng=jax.random.key(3),
+            interpret=True)))(params)
+
+        def cosines(ga, gb):
+            out = []
+            for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+                if float(jnp.max(jnp.abs(a))) < 5e-3:
+                    continue
+                out.append(float(
+                    jnp.sum(a * b)
+                    / (jnp.linalg.norm(a.ravel())
+                       * jnp.linalg.norm(b.ravel()) + 1e-12)))
+            return np.array(out)
+
+        cos_ref = cosines(g32, g16)
+        cos_ct = cosines(g32, gct)
+        assert cos_ct.min() > cos_ref.min() - 0.15
+        assert cos_ct.mean() > cos_ref.mean() - 0.05
+
     def test_eligibility(self, setup):
         cfg16, cfg32, *_ = setup
         shape = (2, 2, 32, 256, 3)
