@@ -695,9 +695,17 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
 
     dx1 = dxcat[:c1]
     if c2:
+        # sum the tiled x2 cotangent over its repetitions with lane-aligned
+        # slice adds: the reshape([c2, reps, n2]) + reduce form retiles the
+        # whole tensor to T(2,128) and costs ~17 ms/step at B=64 (profiler
+        # trace, docs/PERFORMANCE.md round 3); slices on the lane axis keep
+        # T(8,128) and the adds fuse to one memory-speed pass
         n2_total = x2.shape[1]
         reps = total // n2_total
-        dx2 = dxcat[c1a:c1a + c2].reshape(c2, reps, n2_total).sum(axis=1)
+        dx2_rows = dxcat[c1a:c1a + c2]
+        dx2 = dx2_rows[:, :n2_total].astype(jnp.float32)
+        for r in range(1, reps):
+            dx2 = dx2 + dx2_rows[:, r * n2_total:(r + 1) * n2_total]
         dx2 = dx2.astype(x2.dtype)
     else:
         dx2 = None
