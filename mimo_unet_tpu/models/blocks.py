@@ -83,24 +83,34 @@ def double_conv_apply(
     activation in every Up block (measured: the concat alone costs ~4.7 ms
     of the 8.3 ms up3 glue at B=128 — experiments/exp_core_glue.py).
     Requires groups == 1; ``x`` is ignored."""
+    # train-mode BN cancels the conv bias analytically: skip the bias-add
+    # HBM pass and fold the bias into the BN running mean instead
+    # (ops/norm.py::batch_norm fold_conv_bias)
+    fold = train
+    b1_fold = params["conv1"]["b"] if fold else None
     if pair is not None:
         assert groups == 1, "pair input requires ungrouped conv1"
         xa, xb = pair
         ca = xa.shape[-1]
         w1, b1 = params["conv1"]["w"], params["conv1"]["b"]
         y = conv2d(xa, {"w": w1[:, :, :ca], "b": b1}, padding="REFLECT",
-                   compute_dtype=compute_dtype, prepadded=True)
+                   compute_dtype=compute_dtype, prepadded=True,
+                   skip_bias=fold)
         y = y + conv2d(
             xb, {"w": w1[:, :, ca:], "b": jnp.zeros_like(b1)},
-            padding="REFLECT", compute_dtype=compute_dtype, prepadded=True)
+            padding="REFLECT", compute_dtype=compute_dtype, prepadded=True,
+            skip_bias=True)
     else:
         y = conv2d(x, params["conv1"], padding="REFLECT", groups=groups,
-                   compute_dtype=compute_dtype, prepadded=input_prepadded)
-    y, bn1_s = batch_norm(y, params["bn1"], state["bn1"], train=train)
+                   compute_dtype=compute_dtype, prepadded=input_prepadded,
+                   skip_bias=fold)
+    y, bn1_s = batch_norm(y, params["bn1"], state["bn1"], train=train,
+                          fold_conv_bias=b1_fold)
     y = jnp.maximum(y, 0)
     y = conv2d(y, params["conv2"], padding="REFLECT", groups=groups,
-               compute_dtype=compute_dtype)
-    y, bn2_s = batch_norm(y, params["bn2"], state["bn2"], train=train)
+               compute_dtype=compute_dtype, skip_bias=fold)
+    y, bn2_s = batch_norm(y, params["bn2"], state["bn2"], train=train,
+                          fold_conv_bias=params["conv2"]["b"] if fold else None)
     y = jnp.maximum(y, 0)
     y = dropout2d(y, dropout_rate, dropout_key,
                   deterministic=not (train or mc_dropout))

@@ -93,8 +93,14 @@ def conv2d(
     groups: int = 1,
     compute_dtype: Optional[jnp.dtype] = None,
     prepadded: bool = False,
+    skip_bias: bool = False,
 ) -> jax.Array:
     """NHWC conv. ``padding``: int (zero pad), "SAME", "VALID" or "REFLECT".
+
+    ``skip_bias=True`` omits the bias add (a separate HBM pass): used when
+    a train-mode BatchNorm follows, which cancels the bias analytically —
+    the caller folds it into the BN running mean instead
+    (ops/norm.py::batch_norm fold_conv_bias).
 
     "REFLECT" applies torch's ``padding_mode="reflect"`` with pad = (k-1)//2
     (the DoubleConv 3x3 configuration) before a VALID conv; pass
@@ -140,6 +146,8 @@ def conv2d(
         dimension_numbers=_DIMENSION_NUMBERS,
         feature_group_count=groups,
     )
+    if skip_bias:
+        return y
     return y + b.astype(y.dtype)
 
 

@@ -47,25 +47,43 @@ def batch_norm(
     train: bool,
     momentum: float = 0.1,
     eps: float = 1e-5,
+    fold_conv_bias: jax.Array | None = None,
 ) -> Tuple[jax.Array, dict]:
-    """Normalize over (N, H, W) per channel.  Returns (y, new_state)."""
+    """Normalize over (N, H, W) per channel.  Returns (y, new_state).
+
+    ``fold_conv_bias``: when the producing conv skipped its bias add
+    (train mode only — the bias cancels out of ``x - mean`` analytically),
+    pass the bias here so the *running* mean still tracks the biased conv
+    output the eval path will see.  Saves a full elementwise HBM pass per
+    conv (~4.6 ms/step at B=64); the CT kernel path does the same fold
+    (models/fast_path.py::_bn_affine_from_stats).
+    """
     reduce_axes = tuple(range(x.ndim - 1))
 
     if train:
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=reduce_axes)
-        var = jnp.mean(jnp.square(x32), axis=reduce_axes) - jnp.square(mean)
+        mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+        var = (
+            jnp.mean(jnp.square(x.astype(jnp.float32)), axis=reduce_axes)
+            - jnp.square(mean)
+        )
         n = 1
         for a in reduce_axes:
             n *= x.shape[a]
         unbiased = var * (n / max(n - 1, 1))
+        stat_mean = mean if fold_conv_bias is None else (
+            mean + fold_conv_bias.astype(jnp.float32)
+        )
         new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "mean": (1 - momentum) * state["mean"] + momentum * stat_mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
         }
+        # per-channel affine computed in f32, applied in the activation
+        # dtype (same recipe as the eval branch below): avoids
+        # materializing an f32 copy of x just to subtract the mean
         inv = jax.lax.rsqrt(var + eps) * params["scale"].astype(jnp.float32)
-        y = (x32 - mean) * inv + params["bias"].astype(jnp.float32)
-        return y.astype(x.dtype), new_state
+        shift = params["bias"].astype(jnp.float32) - mean * inv
+        y = x * inv.astype(x.dtype) + shift.astype(x.dtype)
+        return y, new_state
 
     # eval: the affine is a per-channel constant — compute it in f32 once,
     # apply in the activation dtype so XLA fuses it into the producing
