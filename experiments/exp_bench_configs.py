@@ -121,56 +121,71 @@ def bench_config(name, task, *, bs_infer=128, bs_train=128, mc=0,
 def main():
     from mimo_unet_tpu.tasks import MimoUnetTask
 
+    only = sys.argv[1:]  # e.g. `exp_bench_configs.py cfg3 cfg4` reruns a subset
+
+    def want(name):
+        return not only or any(name.startswith(o) for o in only)
+
     mk = dict(in_channels=3, out_channels=2, loss="laplace_nll", seed=0,
               compute_dtype="bfloat16")
 
     # 1. M=1
-    bench_config(
-        "cfg1_nyuv2_m1_fbc21_laplace",
-        MimoUnetTask(num_subnetworks=1, filter_base_count=21, **mk))
+    if want("cfg1"):
+        bench_config(
+            "cfg1_nyuv2_m1_fbc21_laplace",
+            MimoUnetTask(num_subnetworks=1, filter_base_count=21, **mk))
 
     # 2. M=2 flagship
-    bench_config(
-        "cfg2_nyuv2_m2_fbc21_laplace_flagship",
-        MimoUnetTask(num_subnetworks=2, filter_base_count=21, **mk))
+    if want("cfg2"):
+        bench_config(
+            "cfg2_nyuv2_m2_fbc21_laplace_flagship",
+            MimoUnetTask(num_subnetworks=2, filter_base_count=21, **mk))
 
     # 3. SEN12TP NDVI: 2 inputs (VV+VH), 1 target x 2 params, fbc=30
-    bench_config(
-        "cfg3_sen12tp_ndvi_m2_fbc30_patch256",
-        MimoUnetTask(in_channels=2, out_channels=2, num_subnetworks=2,
-                     filter_base_count=30, loss="laplace_nll", seed=0,
-                     compute_dtype="bfloat16"))
+    # (bs_train=64: the fbc=30 train step at B=128 exhausts v5e HBM)
+    if want("cfg3"):
+        bench_config(
+            "cfg3_sen12tp_ndvi_m2_fbc30_patch256",
+            MimoUnetTask(in_channels=2, out_channels=2, num_subnetworks=2,
+                         filter_base_count=30, loss="laplace_nll", seed=0,
+                         compute_dtype="bfloat16"),
+            bs_train=64)
 
     # 4. MC-dropout recipe (reference Readme.md:82), MC=5 eval with live
     # spatial dropout — runs the CT fast path with per-(image, channel)
     # mask scales since round 3
-    bench_config(
-        "cfg4_nyuv2_m2_mcdropout0.1_mc5_eval",
-        MimoUnetTask(num_subnetworks=2, filter_base_count=21,
-                     encoder_dropout_rate=0.1, core_dropout_rate=0.1,
-                     decoder_dropout_rate=0.1, **mk),
-        bs_infer=32, mc=5, train=False)
-    # ...and its training step (spatial dropout active in train -> XLA path)
-    bench_config(
-        "cfg4_nyuv2_m2_mcdropout0.1_train",
-        MimoUnetTask(num_subnetworks=2, filter_base_count=21,
-                     encoder_dropout_rate=0.1, core_dropout_rate=0.1,
-                     decoder_dropout_rate=0.1, **mk),
-        bs_infer=128)
+    if want("cfg4"):
+        bench_config(
+            "cfg4_nyuv2_m2_mcdropout0.1_mc5_eval",
+            MimoUnetTask(num_subnetworks=2, filter_base_count=21,
+                         encoder_dropout_rate=0.1, core_dropout_rate=0.1,
+                         decoder_dropout_rate=0.1, **mk),
+            bs_infer=32, mc=5, train=False)
+        # ...and its training step (spatial dropout active in train -> XLA
+        # path; B=64 — the XLA train path at B=128 exhausts v5e HBM)
+        bench_config(
+            "cfg4_nyuv2_m2_mcdropout0.1_train",
+            MimoUnetTask(num_subnetworks=2, filter_base_count=21,
+                         encoder_dropout_rate=0.1, core_dropout_rate=0.1,
+                         decoder_dropout_rate=0.1, **mk),
+            bs_infer=128, bs_train=64)
 
     # 5. scaled MIMO: M=3 gaussian, M=4 laplace, fbc=30
-    bench_config(
-        "cfg5a_nyuv2_m3_fbc30_gaussian",
-        MimoUnetTask(in_channels=3, out_channels=2, num_subnetworks=3,
-                     filter_base_count=30, loss="gaussian_nll", seed=0,
-                     compute_dtype="bfloat16"),
-        bs_infer=64, bs_train=64)
-    bench_config(
-        "cfg5b_nyuv2_m4_fbc30_laplace",
-        MimoUnetTask(in_channels=3, out_channels=2, num_subnetworks=4,
-                     filter_base_count=30, loss="laplace_nll", seed=0,
-                     compute_dtype="bfloat16"),
-        bs_infer=64, bs_train=64)
+    if want("cfg5a"):
+        bench_config(
+            "cfg5a_nyuv2_m3_fbc30_gaussian",
+            MimoUnetTask(in_channels=3, out_channels=2, num_subnetworks=3,
+                         filter_base_count=30, loss="gaussian_nll", seed=0,
+                         compute_dtype="bfloat16"),
+            bs_infer=64, bs_train=64)
+    if want("cfg5b"):
+        # bs_train=32: the M=4 fbc=30 train step at B=64 exhausts v5e HBM
+        bench_config(
+            "cfg5b_nyuv2_m4_fbc30_laplace",
+            MimoUnetTask(in_channels=3, out_channels=2, num_subnetworks=4,
+                         filter_base_count=30, loss="laplace_nll", seed=0,
+                         compute_dtype="bfloat16"),
+            bs_infer=64, bs_train=32)
 
 
 if __name__ == "__main__":

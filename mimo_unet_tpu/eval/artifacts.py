@@ -115,8 +115,13 @@ def make_predictions_evidential(
 
         if epsilon > 0.0:
             from mimo_unet_tpu.eval.fgsm import fgsm_attack
+            from mimo_unet_tpu.models.fast_path import ct_disabled
 
-            image = fgsm_attack(image, epsilon, jax.grad(nll)(image))
+            # gradient through the XLA path: the eval CT kernels carry no
+            # JVP rule (see eval/fgsm.py)
+            with ct_disabled():
+                grad = jax.grad(nll)(image)
+            image = fgsm_attack(image, epsilon, grad)
         out, _ = task.forward(params, model_state, image, train=False)
         return image, out
 

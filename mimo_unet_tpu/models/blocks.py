@@ -88,6 +88,9 @@ def double_conv_apply(
     # (ops/norm.py::batch_norm fold_conv_bias)
     fold = train
     b1_fold = params["conv1"]["b"] if fold else None
+    # the pad-free reflect formulation wins only without autodiff
+    # (ops/conv.py::_conv3x3_reflect_fused)
+    freflect = not train
     if pair is not None:
         assert groups == 1, "pair input requires ungrouped conv1"
         xa, xb = pair
@@ -103,12 +106,13 @@ def double_conv_apply(
     else:
         y = conv2d(x, params["conv1"], padding="REFLECT", groups=groups,
                    compute_dtype=compute_dtype, prepadded=input_prepadded,
-                   skip_bias=fold)
+                   skip_bias=fold, fused_reflect=freflect)
     y, bn1_s = batch_norm(y, params["bn1"], state["bn1"], train=train,
                           fold_conv_bias=b1_fold)
     y = jnp.maximum(y, 0)
     y = conv2d(y, params["conv2"], padding="REFLECT", groups=groups,
-               compute_dtype=compute_dtype, skip_bias=fold)
+               compute_dtype=compute_dtype, skip_bias=fold,
+               fused_reflect=freflect)
     y, bn2_s = batch_norm(y, params["bn2"], state["bn2"], train=train,
                           fold_conv_bias=params["conv2"]["b"] if fold else None)
     y = jnp.maximum(y, 0)
@@ -221,6 +225,9 @@ def up_apply(
         from mimo_unet_tpu.ops.conv import reflect_pad1
 
         x1 = upsample_bilinear_x2_align_corners(x1, pad_output=True)
+        # (feeding the skip unpadded through the fused reflect conv was
+        # measured as a LOSS here — it breaks the split-add fusion;
+        # 72.0 -> 74.8 ms at B=128 — so the skip stays pre-padded)
         x2 = reflect_pad1(x2)
         if split_skip_conv:
             # split-conv fast path: conv1 consumes the (prepadded) skip

@@ -52,6 +52,28 @@ from mimo_unet_tpu.ops.resize import _interp_matrix
 
 _WARNED: set = set()
 
+# trace-time switch: the eval CT kernels carry no JVP rule, so code that
+# differentiates *through* an eval forward (FGSM input gradients,
+# eval/fgsm.py) must trace the XLA path instead.  The flag is consulted by
+# the support gates at trace time, so wrapping just the jax.grad call in
+# ``ct_disabled()`` is enough — the surrounding jitted program still runs
+# its plain forwards on the CT kernels.
+_CT_DISABLED = False
+
+
+class ct_disabled:
+    """Context manager: trace enclosed code with the CT fast path off."""
+
+    def __enter__(self):
+        global _CT_DISABLED
+        self._prev = _CT_DISABLED
+        _CT_DISABLED = True
+
+    def __exit__(self, *exc):
+        global _CT_DISABLED
+        _CT_DISABLED = self._prev
+        return False
+
 
 def _warn_once(key: str, msg: str) -> None:
     if key not in _WARNED:
@@ -122,7 +144,7 @@ def ct_fast_path_supported(
     Readme.md:82) as per-(image, channel) scales on the kernel outputs —
     keyed identically to the XLA path, so masks match it bitwise
     (tests/test_ct_conv.py)."""
-    if cfg.ct_kernels == "off":
+    if cfg.ct_kernels == "off" or _CT_DISABLED:
         return False
     if cfg.ct_kernels != "force" and jax.default_backend() != "tpu":
         return False

@@ -59,6 +59,51 @@ def reflect_pad1(x: jax.Array) -> jax.Array:
     return jnp.einsum("pw,...hwc->...hpc", mat, x, precision=precision)
 
 
+def _conv3x3_reflect_fused(x: jax.Array, w: jax.Array, groups: int) -> jax.Array:
+    """3x3 conv with 1px reflect padding, without materializing the pad.
+
+    ``conv(reflect_pad1(x)) == conv_zero_same(x) + border corrections``:
+    the zero-padded SAME conv covers every in-bounds tap; the taps that
+    fell outside (valued at their reflect rows/cols: -1 -> 1, H -> H-2)
+    are added back as eight tiny convs over 1-wide border slices, padded
+    back to full size with zeros (XLA fuses the pads + adds into one
+    epilogue pass).  Saves the two full HBM passes reflect_pad1 spends
+    materializing the padded tensor — the dominant conv glue cost in the
+    train step (profiler trace, docs/PERFORMANCE.md round 3).
+
+    Exact in f32 up to addition-order rounding; in bf16 the border pixels
+    see one extra rounding (corrections are added post-conv).
+    """
+    conv = functools.partial(
+        lax.conv_general_dilated,
+        window_strides=(1, 1),
+        dimension_numbers=_DIMENSION_NUMBERS,
+        feature_group_count=groups,
+    )
+    y = conv(x, w, padding=[(1, 1), (1, 1)])
+    # rows out of bounds, cols in bounds (zero pad drops the corner taps)
+    r_top = conv(x[:, 1:2], w[0:1], padding=[(0, 0), (1, 1)])
+    r_bot = conv(x[:, -2:-1], w[2:3], padding=[(0, 0), (1, 1)])
+    # cols out of bounds, rows in bounds
+    r_lef = conv(x[:, :, 1:2], w[:, 0:1], padding=[(1, 1), (0, 0)])
+    r_rig = conv(x[:, :, -2:-1], w[:, 2:3], padding=[(1, 1), (0, 0)])
+    # both out of bounds: the four corner taps
+    c_tl = conv(x[:, 1:2, 1:2], w[0:1, 0:1], padding=[(0, 0), (0, 0)])
+    c_tr = conv(x[:, 1:2, -2:-1], w[0:1, 2:3], padding=[(0, 0), (0, 0)])
+    c_bl = conv(x[:, -2:-1, 1:2], w[2:3, 0:1], padding=[(0, 0), (0, 0)])
+    c_br = conv(x[:, -2:-1, -2:-1], w[2:3, 2:3], padding=[(0, 0), (0, 0)])
+    h, wd = y.shape[-3], y.shape[-2]
+
+    def at(t, i, j):
+        return jnp.pad(t, [(0, 0), (i, h - i - t.shape[-3]),
+                           (j, wd - j - t.shape[-2]), (0, 0)])
+
+    return (y + at(r_top, 0, 0) + at(r_bot, h - 1, 0)
+            + at(r_lef, 0, 0) + at(r_rig, 0, wd - 1)
+            + at(c_tl, 0, 0) + at(c_tr, 0, wd - 1)
+            + at(c_bl, h - 1, 0) + at(c_br, h - 1, wd - 1))
+
+
 def conv2d_init(
     key: jax.Array,
     in_channels: int,
@@ -94,6 +139,7 @@ def conv2d(
     compute_dtype: Optional[jnp.dtype] = None,
     prepadded: bool = False,
     skip_bias: bool = False,
+    fused_reflect: bool = False,
 ) -> jax.Array:
     """NHWC conv. ``padding``: int (zero pad), "SAME", "VALID" or "REFLECT".
 
@@ -117,9 +163,27 @@ def conv2d(
     w, b = params["w"], params["b"]
     kh, kw = w.shape[0], w.shape[1]
 
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    elif x.dtype != w.dtype:
+        w = w.astype(x.dtype)
+
     if padding == "REFLECT":
         if not prepadded:
             ph, pw = (kh - 1) // 2, (kw - 1) // 2
+            # ``fused_reflect`` opts into the pad-free formulation: a
+            # measured WIN for the no-grad eval forward (75.1 -> 71.9 ms
+            # at B=128) but a LOSS under autodiff (the correction convs
+            # backward into scatter chains; B=64 train 161 -> 177 ms), so
+            # the caller gates it on eval
+            if (fused_reflect
+                    and (ph, pw) == (1, 1) and stride == 1 and x.ndim == 4
+                    and x.shape[-3] >= 2 and x.shape[-2] >= 2):
+                y = _conv3x3_reflect_fused(x, w, groups)
+                if skip_bias:
+                    return y
+                return y + b.astype(y.dtype)
             if (ph, pw) == (1, 1):
                 x = reflect_pad1(x)
             else:
@@ -131,12 +195,6 @@ def conv2d(
         pad_cfg = [(padding, padding), (padding, padding)]
     else:
         pad_cfg = padding
-
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
-    elif x.dtype != w.dtype:
-        w = w.astype(x.dtype)
 
     y = lax.conv_general_dilated(
         x,

@@ -138,6 +138,44 @@ class TestFGSM:
         assert not np.allclose(np.asarray(x_clean), np.asarray(x_adv))
         assert float(x_adv.min()) >= 0 and float(x_adv.max()) <= 1
 
+    def test_fgsm_grad_skips_ct_kernels(self):
+        """Differentiating through an eval forward must work even when the
+        CT fast path is active: the eval kernels carry no JVP rule, so the
+        gradient traces the XLA path under ``ct_disabled`` (eval/fgsm.py)
+        while the prediction stays on the CT kernels.  ``force`` runs the
+        CT kernels in interpret mode on CPU — without the gate this trace
+        dies in pallas_call's missing JVP rule."""
+        from mimo_unet_tpu.models.fast_path import ct_disabled
+        from mimo_unet_tpu.tasks import MimoUnetTask
+        from mimo_unet_tpu.transforms import repeat_subnetworks
+
+        task = MimoUnetTask(
+            in_channels=3, out_channels=2, num_subnetworks=2,
+            filter_base_count=4, loss="laplace_nll", seed=0,
+            compute_dtype="bfloat16", ct_kernels="force")
+        state = task.init_state(steps_per_epoch=1)
+        img = jax.random.uniform(jax.random.key(1), (2, 16, 128, 3))
+
+        @jax.jit
+        def attack_and_predict(image):
+            def nll(im):
+                x = repeat_subnetworks(im, 2)
+                (p1, _), _ = task.forward(
+                    state.params, state.model_state, x, train=False)
+                return jnp.mean(jnp.square(p1.astype(jnp.float32)))
+
+            with ct_disabled():
+                g = jax.grad(nll)(image)
+            adv = jnp.clip(image + 0.05 * jnp.sign(g), 0.0, 1.0)
+            x = repeat_subnetworks(adv, 2)
+            (p1, _), _ = task.forward(
+                state.params, state.model_state, x, train=False)
+            return adv, p1
+
+        adv, p1 = attack_and_predict(img)
+        assert bool(jnp.all(jnp.isfinite(p1.astype(jnp.float32))))
+        assert not np.allclose(np.asarray(adv), np.asarray(img))
+
 
 class TestArtifacts:
     def test_shapes_and_files(self, trained_ckpts, tiny_dataset, tmp_path):
