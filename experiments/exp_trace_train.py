@@ -19,7 +19,7 @@ from mimo_unet_tpu.tasks import MimoUnetTask
 
 
 def main():
-    b = 64
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     task = MimoUnetTask(
         in_channels=3, out_channels=2, num_subnetworks=2,
         filter_base_count=21, loss="laplace_nll", seed=0,

@@ -180,7 +180,8 @@ def ct_fast_path_supported(
     else:
         dec_out_c = align8(cfg.out_channels)
     ok = (
-        pick_th(h, w, cin, 0, f, f, align8(f)) is not None
+        pick_th(h, w, cin, 0, f, f, align8(f),
+                emit_hpool=_ct_down1_aligned(h, w)) is not None
         and pick_th(h, w, align8(f), align8(dec_c2),
                     mid_c, f, dec_out_c) is not None
     )
@@ -322,8 +323,8 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
         enc_p["in_conv"]["conv1"], enc_p["in_conv"]["bn1"], enc_s["in_conv"]["bn1"],
         enc_p["in_conv"]["conv2"], enc_p["in_conv"]["bn2"], enc_s["in_conv"]["bn2"],
     )
-    th = pick_th(h, w, cin, 0, f, f, fa)
     down1_ct = _ct_down1_aligned(h, w)
+    th = pick_th(h, w, cin, 0, f, f, fa, emit_hpool=down1_ct)
     out = fused_double_conv_ct(
         xct, w1p, s1, sh1, w2p, s2, sh2,
         h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=down1_ct,

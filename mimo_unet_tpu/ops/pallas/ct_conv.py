@@ -289,8 +289,15 @@ def _padcol(v: jax.Array, n: int) -> jax.Array:
     return out.at[:, :k, 0].set(v.astype(jnp.float32))
 
 
-def estimate_vmem(th, w, c1, c2, m, o, out_c) -> int:
-    """Rough VMEM bytes for buffer-fit gating."""
+def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False) -> int:
+    """Rough VMEM bytes for buffer-fit gating.
+
+    Includes a term for Mosaic's vector-temporary stack in the combine
+    (~3 f32 planes of (th+2)*w lanes): the in_conv kernel at th=64
+    measured 16.08 MiB real scoped usage against a 9.8 MiB buffer-only
+    estimate — the temporaries are the difference (compile log, round 3).
+    ``emit_hpool`` adds the H-pool output block and its roll/max temps.
+    """
     cp = align8(c1) + (align8(c2) if c2 else 0)
     ma, oa = align8(m), align8(o)
     r1w = (th + 2) * w
@@ -299,13 +306,24 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c) -> int:
     mid = m * r1w * 2
     slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
     out = 2 * out_c * th * w * 2
-    return col + ys + mid + slabs + out
+    temps = 3 * max(ma, oa) * r1w * 4
+    hpool = (2 * out_c * (th // 2) * w * 2 + oa * th * w * 4
+             if emit_hpool else 0)
+    return col + ys + mid + slabs + out + temps + hpool
 
 
 def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
-            budget: int = 11 * 2 ** 20) -> Optional[int]:
-    for th in (32, 16, 8):
-        if h % th == 0 and estimate_vmem(th, w, c1, c2, m, o, out_c) <= budget:
+            budget: int = 15 * 2 ** 20, emit_hpool: bool = False
+            ) -> Optional[int]:
+    """Deepest fitting tile first: the kernels carry a per-tile fixed cost
+    (grid sequencing + slab DMA issue), so fewer, deeper tiles win when
+    VMEM allows — measured th=32 -> 64 on down1: 4.65 -> 4.08 ms at B=128
+    (experiments/exp_th_sweep.py).  The budget tracks the 16 MiB scoped
+    limit with the temporary-stack term above keeping real usage under it
+    (in_conv at th=64 overflows by 80 KiB and is correctly rejected)."""
+    for th in (64, 32, 16, 8):
+        if h % th == 0 and estimate_vmem(
+                th, w, c1, c2, m, o, out_c, emit_hpool) <= budget:
             return th
     return None
 

@@ -560,38 +560,68 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     return dwp
 
 
-def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
-    """Rough scoped-VMEM bytes for the train conv family at tile height
-    ``th``.  The dx backward kernel dominates: its f32 plane scratch spans
-    3*cp rows of (th+2)*w lanes, plus double-buffered in/out slabs.
-    (Measured anchor: decoder conv1 at cp=72, oa=32, th=16, w=640
-    allocates 20.99 MiB against the 16 MiB scoped limit.)"""
+def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
+                        o: int) -> int:
+    """Rough scoped-VMEM bytes for one train kernel at tile height ``th``.
+    The dx backward kernel dominates: its f32 plane scratch spans 3*cp
+    rows of (th+2)*w lanes, plus double-buffered in/out slabs.  (Measured
+    anchors: decoder conv1 dx at cp=72, oa=32, th=16, w=640 allocates
+    20.99 MiB against the 16 MiB scoped limit; at w=256 the same stage
+    compiles at th=16 and fails at th=32, and dec conv2 dx fails at th=64
+    — all correctly predicted by these formulas.)
+
+    fwd and dw additionally carry Mosaic's vector-temporary stack for
+    their f32 combines (rolls/wheres on [o, th*w] planes; the fwd stats
+    passes add yf/yf*yf planes): in_conv conv2 fwd at th=32, w=640
+    measured 17.67 MiB real scoped usage against the 13.2 MiB buffer-only
+    estimate — ~2.3 extra f32 output planes; budgeted as 3."""
     cp = align8(c1) + (align8(c2) if c2 else 0)
     oa = align8(o)
     r2w = (th + 2) * w
-    dx = (3 * oa * r2w * 2          # g column scratch (bf16)
-          + 3 * cp * r2w * 4        # dx plane scratch (f32)
-          + 2 * cp * th * w * 4     # dx out block, double-buffered
-          + 2 * oa * (th + 6) * w * 2   # g in slab (halo), double-buffered
-          + 2 * cp * th * w * 2)    # x1 prologue slab, double-buffered
-    fwd = (3 * cp * th * w * 2 + 3 * oa * th * w * 4
-           + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2)
-    dw = (3 * cp * th * w * 2 + 3 * oa * th * w * 2
-          + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2)
-    return max(dx, fwd, dw)
+    if kind == "dx":
+        return (3 * oa * r2w * 2        # g column scratch (bf16)
+                + 3 * cp * r2w * 4      # dx plane scratch (f32)
+                + 2 * cp * th * w * 4   # dx out block, double-buffered
+                + 2 * oa * (th + 6) * w * 2  # g in slab, double-buffered
+                + 2 * cp * th * w * 2)  # x1 prologue slab, double-buffered
+    temps = 3 * oa * th * w * 4  # combine/stats vector temporaries (f32)
+    if kind == "fwd":
+        return (3 * cp * th * w * 2 + 3 * oa * th * w * 4
+                + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
+    return (3 * cp * th * w * 2 + 3 * oa * th * w * 2
+            + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
+
+
+def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
+    return max(_estimate_vmem_kind(k, th, w, c1, c2, o)
+               for k in ("dx", "fwd", "dw"))
+
+
+# Per-kernel tile ladders (experiments/exp_train_th.py, B=128 flagship):
+# the kernels carry a per-tile fixed cost, so deeper tiles win until VMEM
+# runs out — dx gains the most (inconv.c1 dx 3.79 -> 1.92 ms at th=64),
+# while fwd and dw plateau (or regress) past th=32.
+_TH_LADDER = {"fwd": (32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
+              "dw": (32, 16, 8, 4)}
+
+
+def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
+                 budget: int = 15 * 2 ** 20) -> Optional[int]:
+    """Deepest tile height of ``kind``'s ladder that divides ``h`` and
+    fits the scoped-VMEM estimate."""
+    for th in _TH_LADDER[kind]:
+        if h % th == 0 and _estimate_vmem_kind(
+                kind, th, w, c1, c2, o) <= budget:
+            return th
+    return None
 
 
 def pick_th_train(h: int, w: int, c1: int, c2: int, o: int,
                   budget: int = 15 * 2 ** 20) -> Optional[int]:
-    """Largest tile height whose train fwd+bwd kernels fit scoped VMEM.
-
-    Starts at 16 (the measured-optimal tile for the 256-px flagship) and
-    steps down for wide/deep stages — e.g. 640-wide NYUv2 frames need
-    th=8 on the decoder conv1 (cp=72)."""
-    for th in (16, 8, 4):
-        if h % th == 0 and estimate_vmem_train(th, w, c1, c2, o) <= budget:
-            return th
-    return None
+    """Forward-kernel tile height (also the feasibility probe used by the
+    fast-path gates: whenever the fwd kernel fits, the dx/dw ladders reach
+    a fitting tile too — their th=4 footprints are strictly smaller)."""
+    return pick_th_kind("fwd", h, w, c1, c2, o, budget)
 
 
 # ---------------------------------------------------------------------------
@@ -680,13 +710,18 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     else:
         xcat = None
 
+    # independent tile heights per backward kernel (the dx kernel's VMEM
+    # footprint differs from dw's, and deeper dx tiles win big —
+    # experiments/exp_train_th.py)
+    th_dx = pick_th_kind("dx", h, w, c1, c2, o) or min(th, 16)
+    th_dw = pick_th_kind("dw", h, w, c1, c2, o) or min(th, 16)
     dxcat, dsc, dsh = _conv_dx(
-        g_eff, xcat, wtp, scale_k, shift_k, h=h, w=w, th=min(th, 16),
+        g_eff, xcat, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
         c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
         out_dtype=x1.dtype)
 
     dwp = _conv_dw(
-        g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=min(th, 16),
+        g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=th_dw,
         c1=c1, c2=c2, o=o, n2_images=n2_images, prologue=prologue,
         interpret=interpret)
     # dw in packed layout: columns are in units of oa; wp columns are in
