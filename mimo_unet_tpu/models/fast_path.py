@@ -292,10 +292,30 @@ def _apply_mc_scale(x, scale_ct, hw):
     return y.astype(x.dtype).reshape(c, total)
 
 
+def _mc_scale_ct_rows(key, rate, s, b, c, c_pad):
+    """Dropout2d scales for the grouped-rows CT layout [s*c_pad, b*hw]
+    (group g's channels in row block g).  Masks drawn exactly as
+    ``_mc_scale_ct`` (the XLA path's per-subnetwork key order), reshaped
+    to [s*c_pad, b]."""
+    keep = 1.0 - rate
+    masks = jax.vmap(
+        lambda k: jax.random.bernoulli(k, keep, (b, 1, 1, c))
+    )(key)  # [s, b, 1, 1, c]
+    scale = jnp.transpose(
+        masks[:, :, 0, 0, :].astype(jnp.float32) / keep, (0, 2, 1))
+    if c_pad != c:
+        scale = jnp.pad(scale, ((0, 0), (0, c_pad - c), (0, 0)))
+    return scale.reshape(s * c_pad, b)
+
+
 def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
                     axis):
     """Per-device eval encoder: x [b, S, H, W, Cin] ->
-    (x1s [fa, S, b, H, W], x2s [align8(2f), S, b, H/2, W/2]).
+    (x1s [fa, S, b, H, W], x2ct [S*align8(2f), b*(H/2)*(W/2)]).
+
+    x2ct is the grouped-rows CT layout (subnetwork g's channels in row
+    block g, pad rows exact zeros) — the channel-concat the shared core
+    consumes, emitted directly by the down1 kernel's output index map.
 
     With ``mc_dropout`` and a spatial encoder rate, the Dropout2d sites at
     each DoubleConv end (reference components.py:29) apply as per-(image,
@@ -356,16 +376,16 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
 
         w1p = jnp.stack([pack_down1(d1c1["w"][g]) for g in range(s)])
         w2p = jnp.stack([pack_w3x3([d1c2["w"][g]]) for g in range(s)])
-        x2s = fused_double_conv_ct(
+        x2ct = fused_double_conv_ct(
             pooled, w1p, s1, sh1, w2p, s2, sh2,
             h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
-            c1=fa, m=2 * f, o=2 * f, interpret=interpret,
-        )  # [align8(2f), n*h2*w2]
+            c1=fa, m=2 * f, o=2 * f, group_rows_out=True, interpret=interpret,
+        )  # [s*align8(2f), b*h2*w2]
+        f2a = align8(f2)
         if mc_spatial:
-            sc2 = _mc_scale_ct(ks[1], cfg.encoder_dropout_rate, s, b, f2,
-                               x2s.shape[0])
-            x2s = _apply_mc_scale(x2s, sc2, h2 * w2)
-        x2s5 = x2s.reshape(x2s.shape[0], s, b, h2, w2)
+            sc2 = _mc_scale_ct_rows(ks[1], cfg.encoder_dropout_rate, s, b,
+                                    f2, f2a)
+            x2ct = _apply_mc_scale(x2ct, sc2, h2 * w2)
     else:
         # ---- down1 (NHWC fallback): half width is not lane-block aligned
         # (e.g. 640/2 = 320) — run the vmapped XLA Down block instead
@@ -390,20 +410,104 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
 
         x2 = jax.vmap(down1_one)(enc_p["down1"], enc_s["down1"], x1_nhwc,
                                  d1_keys)
-        x2s5 = jnp.transpose(x2, (4, 0, 1, 2, 3))  # [2f, s, b, h2, w2]
         f2a = align8(f2)
+        x2g = jnp.transpose(x2, (0, 4, 1, 2, 3))  # [s, 2f, b, h2, w2]
         if f2a != f2:
-            x2s5 = jnp.pad(
-                x2s5, ((0, f2a - f2), (0, 0), (0, 0), (0, 0), (0, 0)))
+            x2g = jnp.pad(
+                x2g, ((0, 0), (0, f2a - f2), (0, 0), (0, 0), (0, 0)))
+        x2ct = x2g.reshape(s * f2a, b * h2 * w2)
 
-    return x1s.reshape(fa, s, b, h, w), x2s5
+    return x1s.reshape(fa, s, b, h, w), x2ct
 
 
 def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, mc_dropout,
                     interpret, axis):
+    """Per-device eval decoder from an NHWC core output: x1s5
+    [fa, S, b, H, W], x_up [b, H/2, W/2, c_up] NHWC -> logits."""
+    fa, s, b, h, w = x1s5.shape
+    c_up = x_up.shape[-1]
+    c_up_a = align8(c_up)
+    xup_ct = jnp.transpose(x_up.astype(jnp.bfloat16), (3, 0, 1, 2))
+    if c_up_a != c_up:
+        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
+    return _dec_eval_core(dec_p, dec_s, x1s5, xup_ct.reshape(c_up_a, -1),
+                          k_dec, cfg=cfg, mc_dropout=mc_dropout,
+                          interpret=interpret, axis=axis)
+
+
+def _dec_eval_ct_local(dec_p, dec_s, up3_p, up3_s, x1s5, xu2, x2ct, k_dec,
+                       k_up3, *, cfg, mc_dropout, interpret, axis):
+    """Per-device eval decoder with the core's up3 fused into the CT
+    section (reference model.py:235-243 up3 + :246-297 decoders).
+
+    up3 runs as the two-input CT kernel at (H/2, W/2): the skip is the
+    encoder's grouped-rows x2ct (never transposed to NHWC), the upsampled
+    branch is up2's NHWC output transposed at the cheap quarter
+    resolution, and the output feeds the decoder in CT directly.  The
+    up3-site Dropout2d (MC eval, reference components.py:29) applies as a
+    per-(image, channel) scale on the kernel output."""
+    fa, s, b, h, w = x1s5.shape
+    f = cfg.filter_base_count
+    f2 = 2 * f
+    f2a = align8(f2)
+    h2, w2 = h // 2, w // 2
+    h4, w4 = h2 // 2, w2 // 2
+    cdt = jnp.bfloat16
+
+    c1w = up3_p["conv"]["conv1"]["w"]
+    m3 = c1w.shape[-1]
+    o3 = up3_p["conv"]["conv2"]["w"].shape[-1]
+    c_skip = s * f2
+    c_xu2 = c1w.shape[2] - c_skip
+    c_upa3 = align8(c_xu2)
+    s1, sh1 = fold_bn_eval(up3_p["conv"]["conv1"]["b"],
+                           up3_p["conv"]["bn1"], up3_s["conv"]["bn1"])
+    s2, sh2 = fold_bn_eval(up3_p["conv"]["conv2"]["b"],
+                           up3_p["conv"]["bn2"], up3_s["conv"]["bn2"])
+    # conv1 input order is [skip, upsampled] (reference components.py:119
+    # cat([x2, x1])); the skip block widens to the grouped-rows layout
+    # (zero rows at each group's pad positions)
+    skip_w = jnp.zeros((3, 3, s * f2a, m3), c1w.dtype)
+    for g in range(s):
+        skip_w = skip_w.at[:, :, g * f2a:g * f2a + f2].set(
+            c1w[:, :, g * f2:(g + 1) * f2])
+    up_w = jnp.zeros((3, 3, c_upa3, m3), c1w.dtype).at[:, :, :c_xu2].set(
+        c1w[:, :, c_skip:])
+    w1p = pack_w3x3([skip_w, up_w])[None]
+    w2p = pack_w3x3([up3_p["conv"]["conv2"]["w"]])[None]
+
+    xu = jnp.transpose(xu2.astype(cdt), (3, 0, 1, 2)).reshape(c_xu2, -1)
+    if c_upa3 != c_xu2:
+        xu = jnp.pad(xu, ((0, c_upa3 - c_xu2), (0, 0)))
+    xu = _upsample_ct_x2(xu, b, h4, w4)  # [c_upa3, b*h2*w2]
+
+    xup_ct = fused_double_conv_ct(
+        x2ct, w1p, s1[None], sh1[None], w2p, s2[None], sh2[None],
+        h=h2, w=w2, th=pick_th(h2, w2, s * f2a, c_upa3, m3, o3, align8(o3)),
+        c1=s * f2a, m=m3, o=o3,
+        x2=xu, c2=c_upa3, n2_images=b, interpret=interpret,
+    )  # [align8(o3), b*h2*w2]
+
+    if mc_dropout and cfg.core_dropout_rate > 0:
+        if axis is not None:
+            k_up3 = jax.random.fold_in(k_up3, lax.axis_index(axis))
+        keep = 1.0 - cfg.core_dropout_rate
+        mask = jax.random.bernoulli(k_up3, keep, (b, 1, 1, o3))
+        sc = jnp.transpose(
+            mask[:, 0, 0, :].astype(jnp.float32) / keep, (1, 0))
+        sc = jnp.pad(sc, ((0, align8(o3) - o3), (0, 0)))
+        xup_ct = _apply_mc_scale(xup_ct, sc, h2 * w2)
+
+    return _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, cfg=cfg,
+                          mc_dropout=mc_dropout, interpret=interpret,
+                          axis=axis)
+
+
+def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
+                   interpret, axis):
     """Per-device eval decoder: fused upsample-concat DoubleConv + 1x1
-    out-conv.  x1s5 [fa, S, b, H, W], x_up [b, H/2, W/2, c_up] NHWC ->
-    logits [b, S, H, W, out_channels] f32.
+    out-conv.  x1s5 [fa, S, b, H, W], xup_ct [align8(c_up), b*(H/2)*(W/2)]
+    CT (pad rows exact zeros) -> logits [b, S, H, W, out_channels] f32.
 
     MC-dropout sites (reference model.py:281, components.py:29): the
     spatial Dropout2d after the up4 DoubleConv applies as a per-(image,
@@ -421,16 +525,12 @@ def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, mc_dropout,
     bn1_p, bn2_p = dec_p["up4"]["conv"]["bn1"], dec_p["up4"]["conv"]["bn2"]
     bn1_s, bn2_s = dec_s["up4"]["conv"]["bn1"], dec_s["up4"]["conv"]["bn2"]
     mid_c = conv1["w"].shape[4]
-    # real upsampled channel count comes from the weights — x_up may arrive
-    # already align8'd with exact-zero pad channels (_pad_core_up3)
+    # real upsampled channel count comes from the weights — xup_ct arrives
+    # align8'd with exact-zero pad channels
     c_up_real = conv1["w"].shape[3] - f
-    c_up = x_up.shape[-1]
     c_up_a = align8(c_up_real)
-    assert c_up in (c_up_real, c_up_a)
-    xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))  # [c_up, b, h2, w2]
-    if c_up_a != c_up:
-        xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
-    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
+    assert xup_ct.shape[0] == c_up_a, (xup_ct.shape, c_up_a)
+    xup_ct = _upsample_ct_x2(xup_ct, b, h2, w2)
 
     s1, sh1 = fold_bn_eval(conv1["b"], bn1_p, bn1_s)
     s2, sh2 = fold_bn_eval(conv2["b"], bn2_p, bn2_s)
@@ -502,6 +602,65 @@ def _dec_eval_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, mc_dropout,
     return jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
 
 
+def _ct_up3_ok(cfg: MimoUNetConfig, h: int, w: int) -> bool:
+    """True when the core's up3 can run as the two-input CT kernel at
+    (H/2, W/2): half resolution lane-block aligned and a fitting tile."""
+    h2, w2 = h // 2, w // 2
+    if w2 % 128 != 0 or h2 % 2 != 0:
+        return False
+    f, s = cfg.filter_base_count, cfg.num_subnetworks
+    fs = f * s
+    m3 = 2 * fs                      # up3 mid = 4fs // 2
+    o3 = 2 * fs // cfg.factor        # up3 out
+    c_rows = s * align8(2 * f)       # grouped-rows skip
+    c_upa3 = align8(4 * fs // cfg.factor)  # up2 output channels
+    return pick_th(h2, w2, c_rows, c_upa3, m3, o3, align8(o3)) is not None
+
+
+def _nhwc_from_x2ct(x2ct, s, f2, b, h2, w2):
+    """Grouped-rows CT [s*align8(2f), b*h2*w2] -> NHWC channel concat
+    [b, h2, w2, s*2f] (the shared core's input, reference model.py:178)."""
+    f2a = align8(f2)
+    t = jnp.transpose(x2ct.reshape(s, f2a, b, h2, w2), (2, 3, 4, 0, 1))
+    return t[..., :f2].reshape(b, h2, w2, s * f2)
+
+
+def _core_mid_eval(core_p, core_s, x3_in, cfg, rng, mc_dropout):
+    """down2 (pool pre-applied) .. up2 of the shared core (eval), with
+    core_apply's exact key order so MC masks match the XLA path bitwise.
+    Returns (up2 output NHWC, up3's dropout key)."""
+    from mimo_unet_tpu.models.blocks import double_conv_apply, down_apply, \
+        up_apply
+    from mimo_unet_tpu.ops.dropout import dropout as _dropout
+
+    cdt = cfg._compute_dtype
+    kc = jax.random.split(rng, 7)
+    rate = cfg.core_dropout_rate
+    x3, _ = double_conv_apply(
+        core_p["down2"], core_s["down2"], x3_in, train=False,
+        dropout_rate=rate, dropout_key=kc[0], mc_dropout=mc_dropout,
+        compute_dtype=cdt)
+    (x4, ind4), _ = down_apply(
+        core_p["down3"], core_s["down3"], x3, train=False,
+        use_pooling_indices=cfg.use_pooling_indices, dropout_rate=rate,
+        dropout_key=kc[1], mc_dropout=mc_dropout, compute_dtype=cdt)
+    (x5, ind5), _ = down_apply(
+        core_p["down4"], core_s["down4"], x4, train=False,
+        use_pooling_indices=cfg.use_pooling_indices, dropout_rate=rate,
+        dropout_key=kc[2], mc_dropout=mc_dropout, compute_dtype=cdt)
+    x5 = _dropout(x5, cfg.center_dropout_rate, kc[3],
+                  deterministic=not mc_dropout)
+    x_up, _ = up_apply(
+        core_p["up1"], core_s["up1"], x5, x4, ind5, mode=cfg.mode,
+        train=False, dropout_rate=rate, dropout_key=kc[4],
+        mc_dropout=mc_dropout, compute_dtype=cdt, split_skip_conv=True)
+    x_up, _ = up_apply(
+        core_p["up2"], core_s["up2"], x_up, x3, ind4, mode=cfg.mode,
+        train=False, dropout_rate=rate, dropout_key=kc[5],
+        mc_dropout=mc_dropout, compute_dtype=cdt, split_skip_conv=True)
+    return x_up, kc[6]
+
+
 def mimo_unet_apply_ct(
     params: dict,
     state: dict,
@@ -519,6 +678,13 @@ def mimo_unet_apply_ct(
     With ``mc_dropout`` the center/final dropout sites are live (reference
     ensemble.py:54-66); see ct_fast_path_supported.
 
+    The core's up3 (reference model.py:235-243) joins the CT section when
+    its half resolution is lane-block aligned (_ct_up3_ok): the skip stays
+    in the encoder's grouped-rows CT output (down2 pools it in CT and only
+    the quarter-resolution tensor is transposed to NHWC), and up3's output
+    feeds the decoder in CT — the two full-resolution NHWC<->CT boundary
+    transposes disappear.
+
     Under an active data-parallel mesh (parallel/mesh.py ct_mesh_scope)
     the encoder/decoder kernel sections run inside ``jax.shard_map`` over
     the data axis; the shared core stays on the GSPMD-partitioned XLA path
@@ -535,23 +701,43 @@ def mimo_unet_apply_ct(
 
     enc = partial(_enc_eval_local, cfg=cfg, mc_dropout=mc_dropout,
                   interpret=interpret, axis=axis)
-    dec = partial(_dec_eval_local, cfg=cfg, mc_dropout=mc_dropout,
-                  interpret=interpret, axis=axis)
     if mesh is None:
-        x1s5, x2s5 = enc(params["encoder"], state["encoder"], x, k_enc)
+        x1s5, x2ct = enc(params["encoder"], state["encoder"], x, k_enc)
     else:
-        x1s5, x2s5 = jax.shard_map(
+        x1s5, x2ct = jax.shard_map(
             enc, mesh=mesh,
             in_specs=(P(), P(), P(axis), P()),
-            out_specs=(P(None, None, axis), P(None, None, axis)),
+            out_specs=(P(None, None, axis), P(None, axis)),
             check_vma=False,
         )(params["encoder"], state["encoder"], x, k_enc)
 
-    # ---- core (NHWC): subnetwork-major channel concat ----------------------
     f2 = 2 * f
     h2, w2 = h // 2, w // 2
-    x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
-        b, h2, w2, s * f2)
+    if _ct_up3_ok(cfg, h, w):
+        # ---- core (up3 deferred to the CT decoder section) ------------------
+        pooled = _pool_ct(x2ct, b, h2, w2)  # [s*f2a, b*h4*w4]
+        x3_in = _nhwc_from_x2ct(pooled, s, f2, b, h2 // 2, w2 // 2)
+        xu2, k_up3 = _core_mid_eval(params["core"], state["core"], x3_in,
+                                    cfg, k_core, mc_dropout)
+        dec = partial(_dec_eval_ct_local, cfg=cfg, mc_dropout=mc_dropout,
+                      interpret=interpret, axis=axis)
+        dec_args = (params["decoder"], state["decoder"],
+                    params["core"]["up3"], state["core"]["up3"],
+                    x1s5, xu2, x2ct, k_dec, k_up3)
+        if mesh is None:
+            logits = dec(*dec_args)
+        else:
+            logits = jax.shard_map(
+                dec, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(None, None, axis), P(axis),
+                          P(None, axis), P(), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )(*dec_args)
+        return logits, state
+
+    # ---- core (NHWC): subnetwork-major channel concat ----------------------
+    x2_concat = _nhwc_from_x2ct(x2ct, s, f2, b, h2, w2)
     # (Padding up3.conv2 to align8 out-channels — so the decoder's channel
     # pad disappears and the 42-of-128-lane conv fills lanes — saved 0.85 ms
     # in isolation but DID NOT compose end-to-end: 1703.7 -> 1702.2
@@ -561,6 +747,8 @@ def mimo_unet_apply_ct(
         rng=k_core, mc_dropout=mc_dropout, dropout_active=mc_dropout,
     )  # [b, h2, w2, 2fs/factor] NHWC
 
+    dec = partial(_dec_eval_local, cfg=cfg, mc_dropout=mc_dropout,
+                  interpret=interpret, axis=axis)
     if mesh is None:
         logits = dec(params["decoder"], state["decoder"], x1s5, x_up, k_dec)
     else:

@@ -349,6 +349,7 @@ def fused_double_conv_ct(
     wo: Optional[jax.Array] = None,
     bo: Optional[jax.Array] = None,
     emit_hpool: bool = False,
+    group_rows_out: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """relu(bn2(conv2(relu(bn1(conv1(cat(x1, x2))))))) [-> 1x1 conv].
@@ -366,6 +367,12 @@ def fused_double_conv_ct(
     ``wo``), additionally returns the H-halved max ([out_c, N*(H/2)*W]) —
     the row half of the Down block's 2x2 maxpool, so only the cheap W-pair
     max remains outside.
+
+    ``group_rows_out``: write group g's output into row block g instead of
+    interleaving groups along lanes — shape [G*out_c, (N/G)*H*W].  Pure
+    index-map change (no extra copies); gives consumers that concatenate
+    the subnetwork axis into channels (the shared core's input / up3 skip)
+    their layout for free.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -431,15 +438,20 @@ def fused_double_conv_ct(
     ]
 
     cp = align8(c1) + (align8(c2) if c2 else 0)
-    out_specs = pl.BlockSpec((out_c, th * w), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((out_c, total), x1.dtype)
+    if group_rows_out:
+        omap = lambda i: (i // gt, i % gt)  # noqa: E731
+        rows, cols = g * out_c, total // g
+    else:
+        omap = lambda i: (0, i)  # noqa: E731
+        rows, cols = out_c, total
+    out_specs = pl.BlockSpec((out_c, th * w), omap, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, cols), x1.dtype)
     if emit_hpool:
         out_specs = (out_specs,
-                     pl.BlockSpec((out_c, th * w // 2), lambda i: (0, i),
+                     pl.BlockSpec((out_c, th * w // 2), omap,
                                   memory_space=pltpu.VMEM))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((out_c, total // 2), x1.dtype))
+                     jax.ShapeDtypeStruct((rows, cols // 2), x1.dtype))
     return pl.pallas_call(
         kern,
         grid=(n_tiles,),
