@@ -220,7 +220,12 @@ def _fold_dc(conv1, bn1_p, bn1_s, conv2, bn2_p, bn2_s, blocks_split=None):
 
 
 def _pool_ct(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
-    """2x2 max pool on CT activations [C, N*H*W] -> [C, N*(H/2)*(W/2)]."""
+    """2x2 max pool on CT activations [C, N*H*W] -> [C, N*(H/2)*(W/2)].
+
+    reduce_window, deliberately: the W-selection-matmul + split-row-max
+    form wins in isolation (~1.5 ms at [96, 128*128^2]) but LOSES fused
+    into the eval graph (1835 -> 1790 patches/s, round 3) — XLA overlaps
+    the reduce_window with the neighboring kernel stages."""
     c = x.shape[0]
     x4 = x.reshape(c, n, h, w)
     y = lax.reduce_window(x4, -jnp.inf, lax.max,

@@ -307,6 +307,11 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False) -> int:
     slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
     out = 2 * out_c * th * w * 2
     temps = 3 * max(ma, oa) * r1w * 4
+    # narrow first inputs measure one extra temporary plane: in_conv
+    # (c1=3) at th=64, w=256, no hpool ran 16.08 MiB real vs 14.67 MiB
+    # estimated (experiments/exp_kernel_attrib.py OOM, round 3)
+    if align8(c1) < 16:
+        temps += max(ma, oa) * r1w * 4
     hpool = (2 * out_c * (th // 2) * w * 2 + oa * th * w * 4
              if emit_hpool else 0)
     return col + ys + mid + slabs + out + temps + hpool
