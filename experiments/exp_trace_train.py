@@ -61,6 +61,7 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
     durs = defaultdict(float)
+    srcs = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -75,10 +76,18 @@ def main():
         d = e.get("dur", 0) / 1e3  # us -> ms
         key = name.split(".")[0][:60]
         durs[key] += d
+        args_d = e.get("args", {}) or {}
+        tf = args_d.get("tf_op") or args_d.get("source") or ""
+        if tf:
+            srcs[str(tf)[:90]] += d
         total += d
     print(f"total op time: {total:.1f} ms (3 steps)", flush=True)
     for k, v in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{v/3:9.2f} ms  {k}", flush=True)
+    if srcs:
+        print("---- by source ----")
+        for k, v in sorted(srcs.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"{v/3:9.2f} ms  {k}", flush=True)
 
 
 if __name__ == "__main__":

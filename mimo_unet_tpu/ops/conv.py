@@ -54,9 +54,12 @@ def reflect_pad1(x: jax.Array) -> jax.Array:
     if c >= 128 or w < 2:
         pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (0, 0)]
         return jnp.pad(x, pad, mode="reflect")
+    from mimo_unet_tpu.ops.resize import mat_einsum
+
     mat = jnp.asarray(_reflect_pad_matrix(w)).astype(x.dtype)
     precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    return jnp.einsum("pw,...hwc->...hpc", mat, x, precision=precision)
+    return mat_einsum("pw,...hwc->...hpc", "pw,...hpc->...hwc", mat, x,
+                      precision)
 
 
 def _conv3x3_reflect_fused(x: jax.Array, w: jax.Array, groups: int) -> jax.Array:

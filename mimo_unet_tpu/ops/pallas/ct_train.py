@@ -600,8 +600,11 @@ def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
 # Per-kernel tile ladders (experiments/exp_train_th.py, B=128 flagship):
 # the kernels carry a per-tile fixed cost, so deeper tiles win until VMEM
 # runs out — dx gains the most (inconv.c1 dx 3.79 -> 1.92 ms at th=64),
-# while fwd and dw plateau (or regress) past th=32.
-_TH_LADDER = {"fwd": (32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
+# and fwd wins at 64 wherever it fits (inconv.c1 4.86 -> 4.42, down1.c1
+# 2.73 -> 1.66; the stages where 64 regressed are exactly the ones the
+# VMEM estimate rejects).  dw is non-monotone past 32 (down1 and dec.c2
+# prefer 16-32 even where 64 fits), so its ladder stays 32-first.
+_TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
               "dw": (32, 16, 8, 4)}
 
 
