@@ -179,9 +179,15 @@ def ct_fast_path_supported(
         dec_out_c = align8(f)  # unfused-1x1 branch
     else:
         dec_out_c = align8(cfg.out_channels)
+    if cin <= 8:
+        from mimo_unet_tpu.ops.pallas.ct_conv import pick_th9
+        in_ok = pick_th9(h, w, cin, f, f,
+                         emit_hpool=_ct_down1_aligned(h, w)) is not None
+    else:
+        in_ok = pick_th(h, w, cin, 0, f, f, align8(f),
+                        emit_hpool=_ct_down1_aligned(h, w)) is not None
     ok = (
-        pick_th(h, w, cin, 0, f, f, align8(f),
-                emit_hpool=_ct_down1_aligned(h, w)) is not None
+        in_ok
         and pick_th(h, w, align8(f), align8(dec_c2),
                     mid_c, f, dec_out_c) is not None
     )
@@ -342,21 +348,40 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
             lambda k: tuple(jax.random.split(k))
         )(jax.random.split(k_enc, s))  # per-s (k1, k2), XLA-path order
 
-    # ---- to CT (S-major image order to match grouped weights) -------------
-    xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
-
     # ---- encoder in_conv: cin -> f -> f at (h, w) --------------------------
-    w1p, s1, sh1, w2p, s2, sh2 = _fold_dc(
-        enc_p["in_conv"]["conv1"], enc_p["in_conv"]["bn1"], enc_s["in_conv"]["bn1"],
-        enc_p["in_conv"]["conv2"], enc_p["in_conv"]["bn2"], enc_s["in_conv"]["bn2"],
-    )
     down1_ct = _ct_down1_aligned(h, w)
-    th = pick_th(h, w, cin, 0, f, f, fa, emit_hpool=down1_ct)
-    out = fused_double_conv_ct(
-        xct, w1p, s1, sh1, w2p, s2, sh2,
-        h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=down1_ct,
-        interpret=interpret,
-    )  # x1s [fa, n*h*w] (decoder skip); hpooled = H-half of the 2x2 pool
+    if cin <= 8:
+        # nine-tap conv1 (no combine; f32 input for in-kernel dx rolls)
+        from mimo_unet_tpu.ops.pallas.ct_conv import (
+            fused_double_conv9_ct, pick_th9)
+
+        ic = enc_p["in_conv"]
+        xct9 = jnp.transpose(
+            x.astype(jnp.float32), (4, 1, 0, 2, 3)).reshape(cin, -1)
+        s1, sh1 = fold_bn_eval(ic["conv1"]["b"], ic["bn1"],
+                               enc_s["in_conv"]["bn1"])
+        s2, sh2 = fold_bn_eval(ic["conv2"]["b"], ic["bn2"],
+                               enc_s["in_conv"]["bn2"])
+        w2p = jnp.stack([pack_w3x3([ic["conv2"]["w"][g]]) for g in range(s)])
+        out = fused_double_conv9_ct(
+            xct9, ic["conv1"]["w"], s1, sh1, w2p, s2, sh2,
+            h=h, w=w, th=pick_th9(h, w, cin, f, f, emit_hpool=down1_ct),
+            c1=cin, m=f, o=f, emit_hpool=down1_ct, interpret=interpret,
+        )
+    else:
+        xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
+        w1p, s1, sh1, w2p, s2, sh2 = _fold_dc(
+            enc_p["in_conv"]["conv1"], enc_p["in_conv"]["bn1"],
+            enc_s["in_conv"]["bn1"],
+            enc_p["in_conv"]["conv2"], enc_p["in_conv"]["bn2"],
+            enc_s["in_conv"]["bn2"],
+        )
+        th = pick_th(h, w, cin, 0, f, f, fa, emit_hpool=down1_ct)
+        out = fused_double_conv_ct(
+            xct, w1p, s1, sh1, w2p, s2, sh2,
+            h=h, w=w, th=th, c1=cin, m=f, o=f, emit_hpool=down1_ct,
+            interpret=interpret,
+        )  # x1s [fa, n*h*w] (decoder skip); hpooled = H-half of the pool
     h2, w2 = h // 2, w // 2
     f2 = 2 * f
 

@@ -240,6 +240,215 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
     return kernel
 
 
+def _make_kernel9(*, th, w, c1, m, o, emit_hpool, tpi, gt, out_dtype,
+                  interpret):
+    """Nine-tap conv1 variant for tiny c1 (the network in_conv, c1 <= 8).
+
+    The standard kernel's conv1 at c1=3 runs a K=24 dot then pays the f32
+    tap-plane combine (4 rolls + 2 selects on [m, (th+2)*w] planes).  Here
+    the dx shifts happen on the *input* rows instead — the slab arrives
+    f32 (Mosaic rolls are 32-bit only), 9 (dy, dx) column parts of
+    align8(c1) rows are built with input-side reflect fixes, and ONE
+    K=9*align8(c1) dot lands directly on the conv1 output: no combine,
+    and a 3x smaller f32 ys scratch for conv1.  Measured at the flagship
+    in_conv shape: 10.4 -> 8.9 ms (experiments/exp_inconv9.py).  conv2 is
+    identical to the standard kernel.  Numerics: same rounding class (one
+    dot accumulation order change, <=5e-3 relative of max)."""
+    r1 = th + 2
+    c1a = align8(c1)
+    ma, oa = align8(m), align8(o)
+
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref = refs.pop(0)
+        (w9_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, out_ref) = refs[:7]
+        hp_ref = refs[7] if emit_hpool else None
+        xdy, col, ys1, ys2, mid = refs[-5:]
+        i = pl.program_id(0)
+        first_img = (i % tpi) == 0
+        last_img = (i % tpi) == tpi - 1
+
+        _build_cols(xdy, x_ref, cp=c1, base=0, c=c1, w=w, th=th,
+                    clamped=i == 0, first_img=first_img, last_img=last_img,
+                    i=i)
+
+        first, last = _edge_masks(w, r1 * w)
+        for dy in range(3):
+            xr = xdy[dy * c1:(dy + 1) * c1]
+            left = jnp.where(first, _roll(xr, -1, interpret),
+                             _roll(xr, 1, interpret))
+            right = jnp.where(last, _roll(xr, 1, interpret),
+                              _roll(xr, -1, interpret))
+            for dx, v in ((0, left), (1, xr), (2, right)):
+                base = (dy * 3 + dx) * c1a
+                col[base:base + c1, :] = v.astype(col.dtype)
+                if c1a > c1:
+                    col[base + c1:base + c1a, :] = jnp.zeros(
+                        (c1a - c1, r1 * w), col.dtype)
+
+        ys1[...] = jax.lax.dot_general(
+            w9_ref[:], col[0:9 * c1a, :],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mid[...] = jnp.maximum(
+            ys1[0:m, :] * s1_ref[0:m] + b1_ref[0:m], 0.0).astype(mid.dtype)
+
+        @pl.when(first_img)
+        def _():
+            mid[:, 0:w] = mid[:, 2 * w:3 * w]
+
+        @pl.when(last_img)
+        def _():
+            mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:(r1 - 2) * w]
+
+        for dy in range(3):
+            col[dy * ma:dy * ma + m, 0:th * w] = mid[:, dy * w:(dy + th) * w]
+            if ma > m:
+                col[dy * ma + m:(dy + 1) * ma, 0:th * w] = jnp.zeros(
+                    (ma - m, th * w), col.dtype)
+
+        ys2[0:3 * oa, 0:th * w] = jax.lax.dot_general(
+            w2_ref[:], col[0:3 * ma, 0:th * w],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y2 = _combine_dx(ys2, oa, o, w, th * w, s2_ref, b2_ref, interpret)
+        y2b = y2.astype(out_dtype)
+        out_ref[0:o, :] = y2b
+        if oa > o:
+            out_ref[o:oa, :] = jnp.zeros((oa - o, th * w), out_dtype)
+        if emit_hpool:
+            hm = jnp.maximum(y2, _roll(y2, th * w - w, interpret))
+            hm = hm.astype(out_dtype)
+            hp_ref[0:o, :] = jnp.concatenate(
+                [hm[:, r * w:(r + 1) * w] for r in range(0, th, 2)], axis=1)
+            if oa > o:
+                hp_ref[o:oa, :] = jnp.zeros((oa - o, th * w // 2), out_dtype)
+
+    return kernel
+
+
+def pack_w3x3_9(w1: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """[3, 3, c1, m] -> [9*align8(c1), align8(m)] for the nine-tap dot:
+    tap (dy, dx) lands at rows [(dy*3+dx)*c1a, +c1), zeros in pads."""
+    _, _, c1, m = w1.shape
+    c1a, ma = align8(c1), align8(m)
+    out = jnp.zeros((9 * c1a, ma), dtype)
+    for dy in range(3):
+        for dx in range(3):
+            out = out.at[(dy * 3 + dx) * c1a:(dy * 3 + dx) * c1a + c1,
+                         :m].set(w1[dy, dx].astype(dtype))
+    return out
+
+
+def estimate_vmem9(th, w, c1, m, o, emit_hpool=False) -> int:
+    """Scoped-VMEM estimate for the nine-tap kernel (see estimate_vmem)."""
+    c1a, ma, oa = align8(c1), align8(m), align8(o)
+    r1w = (th + 2) * w
+    xdy = 3 * c1 * r1w * 4
+    col = max(9 * c1a, 3 * ma) * r1w * 2
+    ys = (ma + 3 * oa) * r1w * 4
+    mid = m * r1w * 2
+    slabs = 2 * c1 * (th + 8) * w * 4
+    out = 2 * oa * th * w * 2
+    temps = 3 * max(ma, oa) * r1w * 4
+    hpool = (2 * oa * (th // 2) * w * 2 + oa * th * w * 4
+             if emit_hpool else 0)
+    return xdy + col + ys + mid + slabs + out + temps + hpool
+
+
+def pick_th9(h: int, w: int, c1: int, m: int, o: int,
+             budget: int = 15 * 2 ** 20, emit_hpool: bool = False
+             ) -> Optional[int]:
+    for th in (64, 32, 16, 8):
+        if h % th == 0 and estimate_vmem9(th, w, c1, m, o,
+                                          emit_hpool) <= budget:
+            return th
+    return None
+
+
+def fused_double_conv9_ct(
+    x1f32: jax.Array,
+    w1: jax.Array,
+    s1: jax.Array,
+    sh1: jax.Array,
+    w2p: jax.Array,
+    s2: jax.Array,
+    sh2: jax.Array,
+    *,
+    h: int,
+    w: int,
+    th: int,
+    c1: int,
+    m: int,
+    o: int,
+    emit_hpool: bool = False,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Nine-tap fused DoubleConv for c1 <= 8 (see _make_kernel9).
+
+    x1f32: [c1, N*H*W] f32 CT activations (f32: in-kernel dx rolls)
+    w1:    [G, 3, 3, c1, m] raw conv1 weights (packed per group here)
+    s1/sh1/s2/sh2: [G, m] / [G, o] folded affines; w2p as pack_w3x3.
+    Returns like fused_double_conv_ct (bf16, align8 pads zero).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    total = x1f32.shape[1]
+    n_tiles = total // (w * th)
+    tpi = h // th
+    g = w1.shape[0]
+    gt = n_tiles // g
+    c1a, ma, oa = align8(c1), align8(m), align8(o)
+    w9 = jnp.stack([pack_w3x3_9(w1[i]) for i in range(g)])
+
+    kern = _make_kernel9(th=th, w=w, c1=c1, m=m, o=o,
+                         emit_hpool=emit_hpool, tpi=tpi, gt=gt,
+                         out_dtype=jnp.bfloat16, interpret=interpret)
+
+    x_spec = pl.BlockSpec(
+        (pl.Element(c1), pl.Element((th + 8) * w, padding=(0, 8 * w))),
+        lambda i: (0, pl.multiple_of(
+            jnp.maximum((i % n_tiles) * th - 4, 0) * w, 128)),
+        memory_space=pltpu.VMEM)
+
+    def gspec(shape):
+        return pl.BlockSpec((None,) + shape,
+                            lambda i: (i // gt,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [x_spec, gspec(w9.shape[1:]), gspec((ma, 1)), gspec((ma, 1)),
+                gspec(w2p.shape[1:]), gspec((oa, 1)), gspec((oa, 1))]
+    operands = [x1f32, w9, _padcol(s1, ma), _padcol(sh1, ma),
+                w2p.astype(jnp.bfloat16), _padcol(s2, oa), _padcol(sh2, oa)]
+
+    out_specs = pl.BlockSpec((oa, th * w), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((oa, total), jnp.bfloat16)
+    if emit_hpool:
+        out_specs = (out_specs,
+                     pl.BlockSpec((oa, th * w // 2), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((oa, total // 2), jnp.bfloat16))
+
+    r1w = (th + 2) * w
+    return pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((3 * c1, r1w), jnp.float32),
+            pltpu.VMEM((max(9 * c1a, 3 * ma), r1w), jnp.bfloat16),
+            pltpu.VMEM((ma, r1w), jnp.float32),
+            pltpu.VMEM((3 * oa, r1w), jnp.float32),
+            pltpu.VMEM((m, r1w), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+
 def pack_w3x3(blocks: Sequence[jax.Array], dtype=jnp.bfloat16) -> jax.Array:
     """Pack HWIO 3x3 weights into the CT kernel layout [3*sum(ca), 3*ma].
 

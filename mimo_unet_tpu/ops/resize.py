@@ -111,17 +111,20 @@ def mat_einsum(pattern_f, pattern_b, mat, x, precision=None):
     ``mat`` is treated as a constant (interpolation tables): no cotangent.
     """
     @jax.custom_vjp
-    def f(v):
-        return jnp.einsum(pattern_f, mat, v, precision=precision)
+    def f(m, v):
+        return jnp.einsum(pattern_f, m, v, precision=precision)
 
-    def fwd(v):
-        return f(v), None
+    def fwd(m, v):
+        return f(m, v), m
 
-    def bwd(_, g):
-        return (jnp.einsum(pattern_b, mat, g, precision=precision),)
+    def bwd(m, g):
+        # the matrix is threaded as a residual (NOT a closure: a captured
+        # tracer leaks when the VJP is transposed inside shard_map)
+        return (jnp.zeros_like(m),
+                jnp.einsum(pattern_b, m, g, precision=precision))
 
     f.defvjp(fwd, bwd)
-    return f(x)
+    return f(mat, x)
 
 
 def upsample_bilinear_align_corners(
