@@ -594,8 +594,8 @@ def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
             h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca),
             c1=fa, m=mid_c, o=f,
             x2=xup_ct, c2=c_up_a, n2_images=b,
-            wo=wo, bo=bo, interpret=interpret,
-        )  # [oca, n*h*w]
+            wo=wo, bo=bo, group_minor=True, interpret=interpret,
+        )  # [oca, n*h*w]  (group-minor: shared x2 block DMA'd once)
     else:
         # a live dropout site sits between up4's DoubleConv and the
         # out-conv (final: reference model.py:281 elementwise; spatial:
@@ -612,7 +612,8 @@ def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
             x1s, w1p, s1, sh1, w2p, s2, sh2,
             h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f)),
             c1=fa, m=mid_c, o=f,
-            x2=xup_ct, c2=c_up_a, n2_images=b, interpret=interpret,
+            x2=xup_ct, c2=c_up_a, n2_images=b, group_minor=True,
+            interpret=interpret,
         )  # [fa, n*h*w]
         if dec_spatial:
             # per-s keys in the XLA path's order (decoder_one: k1 = the

@@ -145,8 +145,10 @@ def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
 
 
 def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
-                 tpi, bt2, out_dtype, interpret):
+                 tpi, bt2, out_dtype, interpret, w_img=None,
+                 group_minor_g=0, gt=0):
     r1 = th + 2
+    w_img = w_img or w
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
@@ -161,6 +163,10 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
         hp_ref = refs[9] if emit_hpool else None
         col, ys, mid = refs[-3:]
         i = pl.program_id(0)
+        if group_minor_g:
+            # group-minor grid ((tile, group) adjacent): consecutive steps
+            # share the x2 block, so Pallas skips its re-DMA per group
+            i = (i % group_minor_g) * gt + i // group_minor_g
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
@@ -185,7 +191,7 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         mid[...] = _combine_dx(
-            ys, ma, m, w, r1 * w, s1_ref, b1_ref,
+            ys, ma, m, w_img, r1 * w, s1_ref, b1_ref,
             interpret).astype(mid.dtype)
 
         # mid rows are conv2-input ext rows [i*th-1, i*th+th+1)
@@ -207,7 +213,7 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
             w2_ref[:], col[0:3 * ma, 0:th * w],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        y2 = _combine_dx(ys, oa, o, w, th * w, s2_ref, b2_ref,
+        y2 = _combine_dx(ys, oa, o, w_img, th * w, s2_ref, b2_ref,
                          interpret)
         if fuse_out:
             out_ref[...] = (jax.lax.dot_general(
@@ -564,6 +570,8 @@ def fused_double_conv_ct(
     bo: Optional[jax.Array] = None,
     emit_hpool: bool = False,
     group_rows_out: bool = False,
+    w_img: Optional[int] = None,
+    group_minor: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """relu(bn2(conv2(relu(bn1(conv1(cat(x1, x2))))))) [-> 1x1 conv].
@@ -581,6 +589,12 @@ def fused_double_conv_ct(
     ``wo``), additionally returns the H-halved max ([out_c, N*(H/2)*W]) —
     the row half of the Down block's 2x2 maxpool, so only the cheap W-pair
     max remains outside.
+
+    ``w_img``: true image width when several images are packed per
+    128-lane row (w = k * w_img, the packed row stride) — dy shifts and
+    tile sizing use ``w``; the dx-combine reflect-edge masks use
+    ``w_img``, so column reflect stays per-image.  Rows of a packed group
+    must hold the SAME row index of k different images.
 
     ``group_rows_out``: write group g's output into row block g instead of
     interleaving groups along lanes — shape [G*out_c, (N/G)*H*W].  Pure
@@ -609,29 +623,51 @@ def fused_double_conv_ct(
     oca = wo.shape[2]
 
     assert not (emit_hpool and fuse_out)
+    group_minor = group_minor and c2 and g > 1
     bt2 = (n2_images * tpi) if c2 else 1
     kern = _make_kernel(th=th, w=w, c1=c1, c2=c2, m=m, o=o, out_c=out_c,
                         fuse_out=fuse_out, emit_hpool=emit_hpool,
-                        tpi=tpi, bt2=bt2,
+                        tpi=tpi, bt2=bt2, w_img=w_img,
+                        group_minor_g=g if group_minor else 0, gt=gt,
                         out_dtype=x1.dtype, interpret=interpret)
 
-    def x_spec(c, period_tiles):
+    if group_minor:
+        def _tile(i):
+            return (i % g) * gt + i // g
+
+        def _grp(i):
+            return i % g
+
+        def _x2pos(i):
+            return (i // g) % bt2
+    else:
+        def _tile(i):
+            return i
+
+        def _grp(i):
+            return i // gt
+
+        def _x2pos(i):
+            return i % bt2
+
+    def x_spec(c, period_tiles, pos_fn):
         return pl.BlockSpec(
             (pl.Element(c), pl.Element((th + 8) * w, padding=(0, 8 * w))),
             lambda i: (0, pl.multiple_of(
-                jnp.maximum((i % period_tiles) * th - 4, 0) * w, 128)),
+                jnp.maximum((pos_fn(i) % period_tiles) * th - 4, 0) * w,
+                128)),
             memory_space=pltpu.VMEM,
         )
 
-    in_specs = [x_spec(c1, n_tiles)]
+    in_specs = [x_spec(c1, n_tiles, _tile)]
     operands = [x1]
     if c2:
-        in_specs.append(x_spec(c2, bt2))
+        in_specs.append(x_spec(c2, bt2, _x2pos))
         operands.append(x2)
 
     def gspec(ndim_shape):
         return pl.BlockSpec(
-            (None,) + ndim_shape, lambda i: (i // gt,) + (0,) * len(ndim_shape),
+            (None,) + ndim_shape, lambda i: (_grp(i),) + (0,) * len(ndim_shape),
             memory_space=pltpu.VMEM)
 
     in_specs += [
@@ -653,10 +689,10 @@ def fused_double_conv_ct(
 
     cp = align8(c1) + (align8(c2) if c2 else 0)
     if group_rows_out:
-        omap = lambda i: (i // gt, i % gt)  # noqa: E731
+        omap = lambda i: (_grp(i), _tile(i) % gt)  # noqa: E731
         rows, cols = g * out_c, total // g
     else:
-        omap = lambda i: (0, i)  # noqa: E731
+        omap = lambda i: (0, _tile(i))  # noqa: E731
         rows, cols = out_c, total
     out_specs = pl.BlockSpec((out_c, th * w), omap, memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, cols), x1.dtype)

@@ -240,7 +240,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
 
 def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                     interpret):
+                     interpret, chunks=None):
     """dz = transpose of (reflect-pad + 3x3 conv) applied to g, then the
     prologue's relu/affine backward.  g col part dy position p (of th+2)
     holds g flat row i*th + p - dy (zero outside the image, with the
@@ -250,6 +250,7 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
     cp = c1a + c2a
     oa = align8(o)
     r1 = th + 2
+    chunks = chunks or ((0, cp),)
 
     def kernel(*refs):
         refs = list(refs)
@@ -307,49 +308,57 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
             col[2 * oa:3 * oa, (th - 1) * w:th * w] += (
                 g_ref[:, (th - 1) * w:th * w])
 
-        ys[...] = jax.lax.dot_general(
-            wt_ref[:], col[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        # ---- W combine with zero edges + reflect folds, on full planes
-        first, last = _edge_masks(w, r1 * w)
-        is1 = _col_eq(w, r1 * w, 1)
-        isw2 = _col_eq(w, r1 * w, w - 2)
-        zero = jnp.zeros((1, 1), jnp.float32)
-        v0 = ys[0:cp, :]
-        v1 = ys[cp:2 * cp, :]
-        v2 = ys[2 * cp:3 * cp, :]
-        dz_full = (
-            jnp.where(last, zero, _roll(v0, -1, interpret))
-            + v1
-            + jnp.where(first, zero, _roll(v2, 1, interpret))
-            + jnp.where(is1, _roll(v0, 1, interpret), zero)
-            + jnp.where(isw2, _roll(v2, -1, interpret), zero)
-        )
-        dz = dz_full[:, w:(th + 1) * w]
-
         if prologue:
-            xv = x1_ref[...].astype(jnp.float32)
-            a = xv * sc_ref[0:cp] + sh_ref[0:cp]
-            mask = a > 0.0
-            da = jnp.where(mask, dz, 0.0)
-            dx_ref[...] = (da * sc_ref[0:cp]).astype(out_dtype)
-
             @pl.when((i % gt) == 0)
             def _():
                 dsc_ref[...] = jnp.zeros_like(dsc_ref)
                 dsh_ref[...] = jnp.zeros_like(dsh_ref)
-
-            dsc_ref[...] += jnp.sum(da * xv, axis=1, keepdims=True)
-            dsh_ref[...] += jnp.sum(da, axis=1, keepdims=True)
         else:
-            dx_ref[...] = dz.astype(out_dtype)
-
             @pl.when(i == 0)
             def _():
                 dsc_ref[...] = jnp.zeros_like(dsc_ref)
                 dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+        # ---- W combine with zero edges + reflect folds, on full planes.
+        # ``chunks`` splits the dz channel rows so the f32 ys scratch holds
+        # 3*cps rows instead of 3*cp — wide stages (decoder conv1, cp=72)
+        # then fit a deeper tile.  The permuted wt operand holds chunk ch's
+        # three dy parts contiguously (see _conv_dx).
+        first, last = _edge_masks(w, r1 * w)
+        is1 = _col_eq(w, r1 * w, 1)
+        isw2 = _col_eq(w, r1 * w, w - 2)
+        zero = jnp.zeros((1, 1), jnp.float32)
+        woff = 0
+        for c0, cps in chunks:
+            ys[0:3 * cps, :] = jax.lax.dot_general(
+                wt_ref[:, woff:woff + 3 * cps], col[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            woff += 3 * cps
+            v0 = ys[0:cps, :]
+            v1 = ys[cps:2 * cps, :]
+            v2 = ys[2 * cps:3 * cps, :]
+            dz_full = (
+                jnp.where(last, zero, _roll(v0, -1, interpret))
+                + v1
+                + jnp.where(first, zero, _roll(v2, 1, interpret))
+                + jnp.where(is1, _roll(v0, 1, interpret), zero)
+                + jnp.where(isw2, _roll(v2, -1, interpret), zero)
+            )
+            dz = dz_full[:, w:(th + 1) * w]
+
+            if prologue:
+                xv = x1_ref[c0:c0 + cps].astype(jnp.float32)
+                a = xv * sc_ref[c0:c0 + cps] + sh_ref[c0:c0 + cps]
+                mask = a > 0.0
+                da = jnp.where(mask, dz, 0.0)
+                dx_ref[c0:c0 + cps] = (
+                    da * sc_ref[c0:c0 + cps]).astype(out_dtype)
+                dsc_ref[c0:c0 + cps] += jnp.sum(da * xv, axis=1,
+                                                keepdims=True)
+                dsh_ref[c0:c0 + cps] += jnp.sum(da, axis=1, keepdims=True)
+            else:
+                dx_ref[c0:c0 + cps] = dz.astype(out_dtype)
 
     return kernel
 
@@ -361,8 +370,19 @@ def _col_eq(w, lanes, value):
     return jax.lax.rem(j, w) == value
 
 
+def _dx_chunks(cp: int, split: bool):
+    """Channel-row chunks for the dz combine.  Split halves the f32 ys
+    scratch (3*cps rows instead of 3*cp) so wide stages fit deeper tiles;
+    chunk sizes stay sublane multiples and >= 32 to keep the dot's M
+    dimension MXU-worthy."""
+    if not split or cp < 64:
+        return ((0, cp),)
+    half = (cp // 2 + 7) // 8 * 8
+    return ((0, half), (half, cp - half))
+
+
 def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
-             interpret, out_dtype):
+             interpret, out_dtype, split=False):
     """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift)."""
     total = g.shape[1]
     n_tiles = total // (w * th)
@@ -372,9 +392,19 @@ def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     c1a = align8(c1)
     cp = c1a + (align8(c2) if c2 else 0)
     oa = align8(o)
+    chunks = _dx_chunks(cp, split)
+    if len(chunks) > 1:
+        # permute wt output columns (wtp is [G, 3oa, 3cp]) so each chunk's
+        # three dy parts are contiguous
+        parts = []
+        for c0, cps in chunks:
+            for dy in range(3):
+                parts.append(wtp[:, :, dy * cp + c0:dy * cp + c0 + cps])
+        wtp = jnp.concatenate(parts, axis=2)
     kern = _dx_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=1, gt=gt,
-        prologue=prologue, out_dtype=out_dtype, interpret=interpret)
+        prologue=prologue, out_dtype=out_dtype, interpret=interpret,
+        chunks=chunks)
 
     in_specs = [_x_spec(oa, th, w, n_tiles)]
     operands = [g]
@@ -408,7 +438,8 @@ def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
         ),
         scratch_shapes=[
             pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
-            pltpu.VMEM((3 * cp, (th + 2) * w), jnp.float32),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+                       jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
@@ -578,9 +609,11 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     cp = align8(c1) + (align8(c2) if c2 else 0)
     oa = align8(o)
     r2w = (th + 2) * w
-    if kind == "dx":
+    if kind in ("dx", "dx_split"):
+        cps = (max(c for _, c in _dx_chunks(cp, True))
+               if kind == "dx_split" else cp)
         return (3 * oa * r2w * 2        # g column scratch (bf16)
-                + 3 * cp * r2w * 4      # dx plane scratch (f32)
+                + 3 * cps * r2w * 4     # dx plane scratch (f32)
                 + 2 * cp * th * w * 4   # dx out block, double-buffered
                 + 2 * oa * (th + 6) * w * 2  # g in slab, double-buffered
                 + 2 * cp * th * w * 2)  # x1 prologue slab, double-buffered
@@ -605,7 +638,7 @@ def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
 # VMEM estimate rejects).  dw is non-monotone past 32 (down1 and dec.c2
 # prefer 16-32 even where 64 fits), so its ladder stays 32-first.
 _TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
-              "dw": (32, 16, 8, 4)}
+              "dx_split": (64, 32, 16, 8, 4), "dw": (32, 16, 8, 4)}
 
 
 def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
@@ -715,13 +748,22 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
 
     # independent tile heights per backward kernel (the dx kernel's VMEM
     # footprint differs from dw's, and deeper dx tiles win big —
-    # experiments/exp_train_th.py)
+    # experiments/exp_train_th.py).  Wide stages (cp >= 64: decoder conv1)
+    # additionally split the dz combine into two channel chunks when that
+    # unlocks a deeper tile (halved f32 ys scratch — the dx pick for
+    # dec.c1 moves 16 -> 32 at the flagship).
+    cp_ = align8(c1) + (align8(c2) if c2 else 0)
     th_dx = pick_th_kind("dx", h, w, c1, c2, o) or min(th, 16)
+    dx_split = False
+    if cp_ >= 64:
+        th_dxs = pick_th_kind("dx_split", h, w, c1, c2, o)
+        if th_dxs is not None and th_dxs > th_dx:
+            th_dx, dx_split = th_dxs, True
     th_dw = pick_th_kind("dw", h, w, c1, c2, o) or min(th, 16)
     dxcat, dsc, dsh = _conv_dx(
         g_eff, xcat, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
         c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
-        out_dtype=x1.dtype)
+        out_dtype=x1.dtype, split=dx_split)
 
     dwp = _conv_dw(
         g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=th_dw,
