@@ -176,7 +176,39 @@ def main():
 
     run_epoch.state = jax.device_put(rstate)
     run_epoch(0)  # compile + warm
-    real_tput = max(run_epoch(e) for e in (1, 2, 3))
+    host_fed_tput = max(run_epoch(e) for e in (1, 2, 3))
+
+    # Device-resident dataset (--device_cache): the whole uint8 train split
+    # is staged into HBM once; each step's batch gather happens on-chip
+    # inside the jitted step, so per-step host work is drawing indices.
+    from mimo_unet_tpu.data.core import DeviceDataset, iterate_index_batches
+
+    dev_ds = DeviceDataset(real_ds)
+
+    def _cached_step(state, data, idx, rngk):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        return task.train_step(tx, state, batch, rngk, with_outputs=False)
+
+    cached_step = jax.jit(_cached_step, donate_argnums=(0,))
+
+    def run_epoch_cached(epoch):
+        t0 = time.perf_counter()
+        seen = 0
+        logs = None
+        st = run_epoch_cached.state
+        for idx in iterate_index_batches(
+            len(dev_ds), real_bs, shuffle=True, drop_last=True,
+            seed=0, epoch=epoch,
+        ):
+            st, logs, _ = cached_step(st, dev_ds.data, idx, rngk)
+            seen += real_bs
+        run_epoch_cached.state = st
+        float(logs["train_loss"])  # true end-to-end sync
+        return seen / (time.perf_counter() - t0)
+
+    run_epoch_cached.state = jax.device_put(task.init_state(steps_per_epoch=1000))
+    run_epoch_cached(0)  # compile + warm
+    real_tput = max(run_epoch_cached(e) for e in (1, 2, 3))
     patch_equiv = fh * fw / (256.0 * 256.0)
 
     target = 5000.0
@@ -186,11 +218,13 @@ def main():
                 "metric": "nyuv2_mimo_m2_realdata_640x480_train_img_per_sec",
                 "value": round(real_tput, 1),
                 "unit": (
-                    f"whole 640x480 frames/sec, h5->uint8 staging->prefetch->"
-                    f"train step, batch {real_bs}, bf16, single-core host"
+                    f"whole 640x480 frames/sec, h5->one-time HBM staging->"
+                    f"on-chip gather (--device_cache)->train step, batch "
+                    f"{real_bs}, bf16"
                 ),
                 "vs_baseline": round(real_tput * patch_equiv / target, 4),
                 "patch_equiv_per_sec": round(real_tput * patch_equiv, 1),
+                "host_fed_img_per_sec": round(host_fed_tput, 1),
             }
         )
     )

@@ -77,6 +77,11 @@ def add_trainer_args(parser: ArgumentParser, project: str, max_epochs: int = 100
                         help="Also write TensorBoard event files (the "
                              "reference OutputMonitor's other sink).")
     parser.add_argument("--log_every_n_steps", type=int, default=200)
+    parser.add_argument("--device_cache", action="store_true",
+                        help="Pin the train split in device HBM and gather "
+                             "batches on-chip inside the jitted step "
+                             "(single-device meshes; see data/core.py "
+                             "DeviceDataset).")
     return parser
 
 
@@ -165,6 +170,7 @@ def run_training(
         monitor_targets=monitor_targets,
         num_devices=args.num_devices,
         seed=args.seed,
+        device_cache=getattr(args, "device_cache", False),
     )
     try:
         state = trainer.fit(resume=args.resume)

@@ -99,7 +99,25 @@ def iterate_batches(
     epoch: int = 0,
 ) -> Iterator[Batch]:
     """Yield batch dicts.  Shuffling reseeds per epoch (seed + epoch)."""
-    n = len(dataset)
+    for idx in iterate_index_batches(
+        len(dataset), batch_size, shuffle=shuffle, drop_last=drop_last,
+        seed=seed, epoch=epoch,
+    ):
+        yield dataset[idx]
+
+
+def iterate_index_batches(
+    n: int,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    drop_last: bool = False,
+    seed: Optional[int] = None,
+    epoch: int = 0,
+) -> Iterator[np.ndarray]:
+    """Yield per-batch index arrays (the sampling half of
+    ``iterate_batches``, for device-resident datasets where the gather
+    itself happens on-chip)."""
     if shuffle:
         rng = np.random.default_rng(None if seed is None else seed + epoch)
         order = rng.permutation(n)
@@ -107,8 +125,54 @@ def iterate_batches(
         order = np.arange(n)
     end = (n // batch_size) * batch_size if drop_last else n
     for start in range(0, end, batch_size):
-        idx = order[start : start + batch_size]
-        yield dataset[idx]
+        yield order[start : start + batch_size]
+
+
+class DeviceDataset:
+    """Dataset pinned in device HBM with on-device batch gather.
+
+    TPU-first input staging, one step past ``host_dtype="uint8"``: the
+    whole dataset is ``jax.device_put`` once (uint8 arrays stay uint8, so
+    NYUv2's full train split costs ~1.2 MB/frame of HBM) and each step's
+    batch assembly becomes a `jnp.take` INSIDE the jitted train step —
+    per-step host work shrinks to drawing ``batch_size`` indices.  The
+    reference holds the same arrays in host RAM and re-assembles every
+    batch on the CPU through DataLoader workers (reference
+    mimo/datasets/nyuv2.py:20-24, nyuv2_datamodule.py:52-60); on this
+    testbed's single-core host that assembly dominates the step time
+    (docs/PERFORMANCE.md, experiments/exp_pipeline_overlap.py).
+
+    Use ``gather(idx)`` inside a jitted step, then ``device_normalize``
+    (which the tasks already apply) for the uint8 -> [0,1] float32 step.
+    """
+
+    def __init__(self, dataset: ArrayDataset, device=None):
+        self.n = len(dataset)
+        self.data = {
+            k: (jax.device_put(v, device) if device is not None
+                else jax.device_put(v))
+            for k, v in dataset.data.items()
+            if v is not None
+        }
+
+    def __len__(self) -> int:
+        return self.n
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(np.asarray(v).dtype.itemsize) * int(np.prod(v.shape))
+                   for v in self.data.values())
+
+    def gather(self, idx) -> Batch:
+        """On-device batch gather (jit-safe): idx [B] -> dict of [B, ...]."""
+        import jax.numpy as jnp
+
+        return {k: jnp.take(v, idx, axis=0) for k, v in self.data.items()}
+
+
+def dataset_nbytes(dataset: ArrayDataset) -> int:
+    """Host-side size estimate for the device-cache eligibility check."""
+    return sum(v.nbytes for v in dataset.data.values() if v is not None)
 
 
 def prefetch_to_device(

@@ -48,6 +48,7 @@ class Trainer:
         mesh=None,
         num_devices: Optional[int] = None,
         seed: int = 42,
+        device_cache: bool = False,
     ):
         self.task = task
         self.dm = datamodule
@@ -57,6 +58,7 @@ class Trainer:
         self.monitor_targets = monitor_targets
         self.log_images = log_images
         self.seed = seed
+        self.device_cache = device_cache
         self.mesh = mesh if mesh is not None else make_mesh(num_devices)
         self.logger = logger if logger is not None else TSVLogger(checkpoint_path)
         self.ckpt = CheckpointManager(checkpoint_path, task.hparams())
@@ -115,6 +117,33 @@ class Trainer:
             partial(task.train_step, tx, with_outputs=True),
             in_shardings=(repl, data_shard, repl),
         )
+
+        # ------------- device-resident dataset (TPU extension) -------------
+        # Pin the train split in device HBM once and fold the batch gather
+        # into the jitted step: per-step host work becomes drawing indices.
+        # Single-device only (a sharded HBM cache would need per-shard
+        # index routing); >1-device meshes fall back to host feeding.
+        use_cache = self.device_cache
+        if use_cache and self.mesh.size > 1:
+            print("[trainer] device_cache requested but mesh spans "
+                  f"{self.mesh.size} devices; falling back to host feeding")
+            use_cache = False
+        if use_cache:
+            from mimo_unet_tpu.data.core import DeviceDataset
+
+            dev_ds = DeviceDataset(dm.train_dataset())
+            print(f"[trainer] device cache: {len(dev_ds)} items, "
+                  f"{dev_ds.nbytes / 1e6:.0f} MB in HBM")
+
+            def _cached_step(with_outputs, state, data, idx, rng):
+                return task.train_step(
+                    tx, state,
+                    {k: jax.numpy.take(v, idx, axis=0) for k, v in data.items()},
+                    rng, with_outputs=with_outputs)
+
+            cached_step = jax.jit(partial(_cached_step, False),
+                                  donate_argnums=(0,))
+            cached_step_with_outputs = jax.jit(partial(_cached_step, True))
         val_step = jax.jit(
             task.val_step, in_shardings=(repl, repl, data_shard)
         )
@@ -126,24 +155,48 @@ class Trainer:
             t_epoch = time.time()
             images_seen = 0
             pending_logs = None
-            batches = prefetch_to_device(
-                dm.train_batches(epoch, seed=self.seed), sharding=data_shard
-            )
+            if use_cache:
+                from mimo_unet_tpu.data.core import iterate_index_batches
+
+                batches = iterate_index_batches(
+                    len(dev_ds), dm.batch_size,
+                    shuffle=True, drop_last=True,
+                    seed=self.seed, epoch=epoch,
+                )
+            else:
+                batches = prefetch_to_device(
+                    dm.train_batches(epoch, seed=self.seed),
+                    sharding=data_shard,
+                )
             for batch in batches:
                 want_images = (
                     self.log_images
                     and self.log_every_n_steps > 0
                     and global_step % self.log_every_n_steps == 0
                 )
-                if want_images:
+                if use_cache:
+                    n_batch = len(batch)
+                    if want_images:
+                        new_state, logs, outputs = cached_step_with_outputs(
+                            state, dev_ds.data, batch, rng
+                        )
+                        self._log_images(global_step, outputs, stage="train")
+                        state = new_state
+                    else:
+                        state, logs, _ = cached_step(
+                            state, dev_ds.data, batch, rng
+                        )
+                elif want_images:
+                    n_batch = len(next(iter(batch.values())))
                     new_state, logs, outputs = train_step_with_outputs(
                         state, batch, rng
                     )
                     self._log_images(global_step, outputs, stage="train")
                     state = new_state
                 else:
+                    n_batch = len(next(iter(batch.values())))
                     state, logs, _ = train_step(state, batch, rng)
-                images_seen += len(next(iter(batch.values())))
+                images_seen += n_batch
                 if not self._timing_warm:
                     # the first step of the process includes XLA compilation;
                     # restart the epoch clock so throughput reflects steady

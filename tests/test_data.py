@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -61,6 +62,36 @@ class TestCore:
         next(it)
         with pytest.raises(RuntimeError, match="boom"):
             next(it)
+
+    def test_device_dataset_gather_matches_host_indexing(self):
+        from mimo_unet_tpu.data.core import DeviceDataset
+
+        rng = np.random.default_rng(0)
+        ds = ArrayDataset({
+            "image": rng.integers(0, 256, (10, 4, 4, 3)).astype(np.uint8),
+            "label": rng.random((10, 4, 4, 1)).astype(np.float32),
+        })
+        dev = DeviceDataset(ds)
+        assert len(dev) == 10
+        assert dev.nbytes == ds.data["image"].nbytes + ds.data["label"].nbytes
+        idx = np.array([3, 1, 7, 3])
+        got = jax.jit(dev.gather)(idx)
+        host = ds[idx]
+        for k in ("image", "label"):
+            assert np.asarray(got[k]).dtype == host[k].dtype
+            np.testing.assert_array_equal(np.asarray(got[k]), host[k])
+
+    def test_index_batches_match_batch_iteration_order(self):
+        from mimo_unet_tpu.data.core import iterate_index_batches
+
+        ds = ArrayDataset({"x": np.arange(10, dtype=np.float32)})
+        via_batches = [b["x"] for b in iterate_batches(
+            ds, 4, shuffle=True, drop_last=True, seed=3, epoch=2)]
+        via_idx = [ds[i]["x"] for i in iterate_index_batches(
+            10, 4, shuffle=True, drop_last=True, seed=3, epoch=2)]
+        assert len(via_batches) == len(via_idx) == 2
+        for a, b in zip(via_batches, via_idx):
+            np.testing.assert_array_equal(a, b)
 
 
 class TestNYUv2:
