@@ -189,7 +189,7 @@ def ct_fast_path_supported(
     ok = (
         in_ok
         and pick_th(h, w, align8(f), align8(dec_c2),
-                    mid_c, f, dec_out_c) is not None
+                    mid_c, f, dec_out_c, x2_half_h=True) is not None
     )
     if ok and _ct_down1_aligned(h, w):
         ok = pick_th(h // 2, w // 2, align8(f), 0, 2 * f, 2 * f,
@@ -271,6 +271,20 @@ def _upsample_ct_x2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
     y = mat_einsum("oh,cnhw->cnow", "oh,cnow->cnhw", mh, x4)
     y = mat_einsum("pw,cnow->cnop", "pw,cnop->cnow", mw, y)
     return y.reshape(c, n * 4 * h * w)
+
+
+def _upsample_ct_w2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
+    """W-half only of the bilinear x2 on CT activations ([c, n*h*w] ->
+    [c, n*h*2w]); the H-half runs inside the consuming kernel's column
+    builder (``fused_double_conv_ct(x2_half_h=True)``) so the full-res
+    upsampled tensor never lands in HBM."""
+    from mimo_unet_tpu.ops.resize import mat_einsum
+
+    c = x.shape[0]
+    x3 = x.reshape(c, n * h, w)
+    mw = jnp.asarray(_interp_matrix(w, 2 * w)).astype(x.dtype)
+    y = mat_einsum("pw,crw->crp", "pw,crp->crw", mw, x3)
+    return y.reshape(c, n * h * 2 * w)
 
 
 # ===========================================================================
@@ -511,13 +525,14 @@ def _dec_eval_ct_local(dec_p, dec_s, up3_p, up3_s, x1s5, xu2, x2ct, k_dec,
     xu = jnp.transpose(xu2.astype(cdt), (3, 0, 1, 2)).reshape(c_xu2, -1)
     if c_upa3 != c_xu2:
         xu = jnp.pad(xu, ((0, c_upa3 - c_xu2), (0, 0)))
-    xu = _upsample_ct_x2(xu, b, h4, w4)  # [c_upa3, b*h2*w2]
+    xu = _upsample_ct_w2(xu, b, h4, w4)  # [c_upa3, b*h4*w2]; H-half in-kernel
 
     xup_ct = fused_double_conv_ct(
         x2ct, w1p, s1[None], sh1[None], w2p, s2[None], sh2[None],
-        h=h2, w=w2, th=pick_th(h2, w2, s * f2a, c_upa3, m3, o3, align8(o3)),
+        h=h2, w=w2, th=pick_th(h2, w2, s * f2a, c_upa3, m3, o3, align8(o3),
+                               x2_half_h=True),
         c1=s * f2a, m=m3, o=o3,
-        x2=xu, c2=c_upa3, n2_images=b, interpret=interpret,
+        x2=xu, c2=c_upa3, n2_images=b, x2_half_h=True, interpret=interpret,
     )  # [align8(o3), b*h2*w2]
 
     if mc_dropout and cfg.core_dropout_rate > 0:
@@ -562,7 +577,8 @@ def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
     c_up_real = conv1["w"].shape[3] - f
     c_up_a = align8(c_up_real)
     assert xup_ct.shape[0] == c_up_a, (xup_ct.shape, c_up_a)
-    xup_ct = _upsample_ct_x2(xup_ct, b, h2, w2)
+    # W-half here; the H-half lerps inside the decoder kernel (x2_half_h)
+    xup_ct = _upsample_ct_w2(xup_ct, b, h2, w2)
 
     s1, sh1 = fold_bn_eval(conv1["b"], bn1_p, bn1_s)
     s2, sh2 = fold_bn_eval(conv2["b"], bn2_p, bn2_s)
@@ -591,9 +607,10 @@ def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
         bo = jnp.zeros((s, oca), jnp.float32).at[:, :oc].set(outc["b"])
         out = fused_double_conv_ct(
             x1s, w1p, s1, sh1, w2p, s2, sh2,
-            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca),
+            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, oca,
+                                 x2_half_h=True),
             c1=fa, m=mid_c, o=f,
-            x2=xup_ct, c2=c_up_a, n2_images=b,
+            x2=xup_ct, c2=c_up_a, n2_images=b, x2_half_h=True,
             wo=wo, bo=bo, group_minor=True, interpret=interpret,
         )  # [oca, n*h*w]  (group-minor: shared x2 block DMA'd once)
     else:
@@ -610,10 +627,11 @@ def _dec_eval_core(dec_p, dec_s, x1s5, xup_ct, k_dec, *, cfg, mc_dropout,
             k_dec = jax.random.fold_in(k_dec, lax.axis_index(axis))
         y = fused_double_conv_ct(
             x1s, w1p, s1, sh1, w2p, s2, sh2,
-            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f)),
+            h=h, w=w, th=pick_th(h, w, fa, c_up_a, mid_c, f, align8(f),
+                                 x2_half_h=True),
             c1=fa, m=mid_c, o=f,
-            x2=xup_ct, c2=c_up_a, n2_images=b, group_minor=True,
-            interpret=interpret,
+            x2=xup_ct, c2=c_up_a, n2_images=b, x2_half_h=True,
+            group_minor=True, interpret=interpret,
         )  # [fa, n*h*w]
         if dec_spatial:
             # per-s keys in the XLA path's order (decoder_one: k1 = the
@@ -647,7 +665,8 @@ def _ct_up3_ok(cfg: MimoUNetConfig, h: int, w: int) -> bool:
     o3 = 2 * fs // cfg.factor        # up3 out
     c_rows = s * align8(2 * f)       # grouped-rows skip
     c_upa3 = align8(4 * fs // cfg.factor)  # up2 output channels
-    return pick_th(h2, w2, c_rows, c_upa3, m3, o3, align8(o3)) is not None
+    return pick_th(h2, w2, c_rows, c_upa3, m3, o3, align8(o3),
+                   x2_half_h=True) is not None
 
 
 def _nhwc_from_x2ct(x2ct, s, f2, b, h2, w2):

@@ -146,13 +146,14 @@ def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
 
 def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
                  tpi, bt2, out_dtype, interpret, w_img=None,
-                 group_minor_g=0, gt=0):
+                 group_minor_g=0, gt=0, x2_half=0):
     r1 = th + 2
     w_img = w_img or w
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     ma, oa = align8(m), align8(o)
+    h = tpi * th
 
     def kernel(*refs):
         refs = list(refs)
@@ -161,7 +162,10 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
         (w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
          wo_ref, bo_ref, out_ref) = refs[:9]
         hp_ref = refs[9] if emit_hpool else None
-        col, ys, mid = refs[-3:]
+        if x2_half:
+            col, ys, mid, x2s = refs[-4:]
+        else:
+            col, ys, mid = refs[-3:]
         i = pl.program_id(0)
         if group_minor_g:
             # group-minor grid ((tile, group) adjacent): consecutive steps
@@ -178,7 +182,34 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
                 col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
                     (c1a - c1, r1 * w), col.dtype)
         if c2:
-            _build_cols(col, x2_ref, cp=cp, base=c1a, c=c2, w=w, th=th,
+            if x2_half:
+                # H-half of the bilinear x2 upsample fused into the column
+                # build: x2_ref is the W-upsampled HALF-res slab; stage the
+                # tile's full-res ext rows as per-row lerps (align-corners
+                # weights computed exactly from integer scalars, matching
+                # ops/resize.py _align_corners_tables), then feed the
+                # staging buffer through the unchanged _build_cols.
+                h2 = x2_half
+                pos = i % bt2
+                i_loc = pos % tpi
+                r_start = jnp.where(pos == 0, 0, i_loc * th - 4)
+                base = jnp.maximum((i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
+                for j in range(th + 8):
+                    r = jnp.clip(r_start + j, 0, h - 1)
+                    num = r * (h2 - 1)
+                    lo = jnp.minimum(num // (h - 1), h2 - 2)
+                    f = ((num - lo * (h - 1)).astype(jnp.float32)
+                         / float(h - 1))
+                    sl = lo - base
+                    a = x2_ref[:, pl.ds(pl.multiple_of(sl * w, 128), w)]
+                    b = x2_ref[:, pl.ds(pl.multiple_of((sl + 1) * w, 128), w)]
+                    x2s[:, j * w:(j + 1) * w] = (
+                        a.astype(jnp.float32) * (1.0 - f)
+                        + b.astype(jnp.float32) * f).astype(x2s.dtype)
+                x2_src = x2s
+            else:
+                x2_src = x2_ref
+            _build_cols(col, x2_src, cp=cp, base=c1a, c=c2, w=w, th=th,
                         clamped=(i % bt2) == 0, first_img=first_img,
                         last_img=last_img, i=i)
             if c2a > c2:
@@ -504,7 +535,8 @@ def _padcol(v: jax.Array, n: int) -> jax.Array:
     return out.at[:, :k, 0].set(v.astype(jnp.float32))
 
 
-def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False) -> int:
+def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False,
+                  x2_half_h=False) -> int:
     """Rough VMEM bytes for buffer-fit gating.
 
     Includes a term for Mosaic's vector-temporary stack in the combine
@@ -519,7 +551,15 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False) -> int:
     col = 3 * max(cp, ma) * r1w * 2
     ys = 3 * max(ma, oa) * r1w * 4
     mid = m * r1w * 2
-    slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
+    if x2_half_h and c2:
+        # x2 slab halves (th/2+6 of th+8 rows) but adds the full-res lerp
+        # staging scratch plus its f32 lerp temporaries (~2 planes)
+        slabs = (2 * c1 * (th + 8) * w * 2
+                 + 2 * c2 * (th // 2 + 6) * w * 2
+                 + c2 * (th + 8) * w * 2)
+        ys += 2 * c2 * w * 4
+    else:
+        slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
     out = 2 * out_c * th * w * 2
     temps = 3 * max(ma, oa) * r1w * 4
     # narrow first inputs measure one extra temporary plane: in_conv
@@ -533,8 +573,8 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False) -> int:
 
 
 def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
-            budget: int = 15 * 2 ** 20, emit_hpool: bool = False
-            ) -> Optional[int]:
+            budget: int = 15 * 2 ** 20, emit_hpool: bool = False,
+            x2_half_h: bool = False) -> Optional[int]:
     """Deepest fitting tile first: the kernels carry a per-tile fixed cost
     (grid sequencing + slab DMA issue), so fewer, deeper tiles win when
     VMEM allows — measured th=32 -> 64 on down1: 4.65 -> 4.08 ms at B=128
@@ -543,7 +583,8 @@ def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
     (in_conv at th=64 overflows by 80 KiB and is correctly rejected)."""
     for th in (64, 32, 16, 8):
         if h % th == 0 and estimate_vmem(
-                th, w, c1, c2, m, o, out_c, emit_hpool) <= budget:
+                th, w, c1, c2, m, o, out_c, emit_hpool,
+                x2_half_h=x2_half_h) <= budget:
             return th
     return None
 
@@ -572,6 +613,7 @@ def fused_double_conv_ct(
     group_rows_out: bool = False,
     w_img: Optional[int] = None,
     group_minor: bool = False,
+    x2_half_h: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """relu(bn2(conv2(relu(bn1(conv1(cat(x1, x2))))))) [-> 1x1 conv].
@@ -601,6 +643,12 @@ def fused_double_conv_ct(
     index-map change (no extra copies); gives consumers that concatenate
     the subnetwork axis into channels (the shared core's input / up3 skip)
     their layout for free.
+
+    ``x2_half_h``: x2 arrives at HALF height [c2, n2_images*(H/2)*W] with
+    only the W-half of its bilinear x2 upsample applied; the H-half
+    (align-corners row lerp, reference components.py:78
+    Upsample(align_corners=True)) happens inside the column builder from
+    a half-res slab — the full-res upsampled tensor never exists in HBM.
     """
     if interpret is None:
         interpret = _use_interpret()
@@ -629,6 +677,7 @@ def fused_double_conv_ct(
                         fuse_out=fuse_out, emit_hpool=emit_hpool,
                         tpi=tpi, bt2=bt2, w_img=w_img,
                         group_minor_g=g if group_minor else 0, gt=gt,
+                        x2_half=(h // 2) if x2_half_h else 0,
                         out_dtype=x1.dtype, interpret=interpret)
 
     if group_minor:
@@ -662,7 +711,27 @@ def fused_double_conv_ct(
     in_specs = [x_spec(c1, n_tiles, _tile)]
     operands = [x1]
     if c2:
-        in_specs.append(x_spec(c2, bt2, _x2pos))
+        if x2_half_h:
+            # half-res slab: sources for full-res ext rows [t*th-4,
+            # t*th+th+4) of image ``img`` start at half row lo(t*th-4)
+            # (clamped to the image start); the window is th/2+6 rows
+            h2 = h // 2
+            assert x2.shape[1] == n2_images * h2 * w
+
+            def x2_map(i):
+                pos = _x2pos(i)
+                i_loc = pos % tpi
+                img = pos // tpi
+                base = jnp.maximum(
+                    (i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
+                return (0, pl.multiple_of((img * h2 + base) * w, 128))
+
+            in_specs.append(pl.BlockSpec(
+                (pl.Element(c2),
+                 pl.Element((th // 2 + 6) * w, padding=(0, 8 * w))),
+                x2_map, memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(x_spec(c2, bt2, _x2pos))
         operands.append(x2)
 
     def gspec(ndim_shape):
@@ -712,6 +781,7 @@ def fused_double_conv_ct(
             pltpu.VMEM((3 * max(cp, ma), (th + 2) * w), x1.dtype),
             pltpu.VMEM((3 * max(ma, oa), (th + 2) * w), jnp.float32),
             pltpu.VMEM((m, (th + 2) * w), x1.dtype),
-        ],
+        ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
+             if (c2 and x2_half_h) else []),
         interpret=interpret,
     )(*operands)

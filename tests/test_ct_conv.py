@@ -182,6 +182,55 @@ class TestFusedDoubleConvCT:
             atol=3e-2 * scale)
 
 
+    def test_x2_half_h_fused_lerp_matches_host_lerp(self):
+        """``x2_half_h``: the H-half of the bilinear x2 upsample runs
+        inside the column builder.  Feeding the standard kernel the
+        host-computed equivalent (f32 align-corners row lerp of the bf16
+        half-res rows, cast to bf16) must match to ~1 bf16 ulp of the
+        output scale — the only divergence is the compiler contracting
+        the lerp's mul+add into an FMA (numpy rounds the intermediate),
+        which can flip a bf16 rounding or a relu threshold."""
+        c1r, c2r, m, o, h, w = 8, 8, 5, 5, 32, 256
+        n, n2 = 4, 2
+        h2 = h // 2
+        ks = jax.random.split(jax.random.key(5), 4)
+        xa = _mk(ks[0], (n, h, w, c1r), 1.0).astype(jnp.bfloat16)
+        xh = _mk(ks[1], (n2, h2, w, c2r), 1.0).astype(jnp.bfloat16)
+        w1 = _mk(ks[2], (3, 3, c1r + c2r, m))
+        w2 = _mk(ks[3], (3, 3, m, o))
+
+        # host H-lerp exactly as the kernel computes it (f32 division of
+        # exact integers — float64-then-cast differs by 1 ulp on some rows)
+        num = np.arange(h) * (h2 - 1)
+        lo = np.minimum(num // (h - 1), h2 - 2)
+        f = ((num - lo * (h - 1)).astype(np.float32)
+             / np.float32(h - 1))[None, :, None, None]
+        xh_np = np.asarray(xh, np.float32)
+        xb_full = jnp.asarray(
+            xh_np[:, lo] * (1 - f) + xh_np[:, lo + 1] * f
+        ).astype(jnp.bfloat16)
+
+        x1ct = jnp.moveaxis(xa, -1, 0).reshape(c1r, -1)
+        x2full_ct = jnp.moveaxis(xb_full, -1, 0).reshape(c2r, -1)
+        x2half_ct = jnp.moveaxis(xh, -1, 0).reshape(c2r, -1)
+        w1p = pack_w3x3([w1[:, :, :c1r], w1[:, :, c1r:]])[None]
+        w2p = pack_w3x3([w2])[None]
+        kw = dict(h=h, w=w, th=8, c1=c1r, m=m, o=o, c2=c2r, n2_images=n2,
+                  interpret=True)
+        ref = fused_double_conv_ct(
+            x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
+            w2p, jnp.ones((1, o)), jnp.zeros((1, o)),
+            x2=x2full_ct, **kw)
+        out = fused_double_conv_ct(
+            x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
+            w2p, jnp.ones((1, o)), jnp.zeros((1, o)),
+            x2=x2half_ct, x2_half_h=True, **kw)
+        scale = float(jnp.max(jnp.abs(ref))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-3 * scale)
+
+
 class TestFastPathForward:
     def test_matches_reference_forward(self):
         cfg = MimoUNetConfig(
