@@ -336,7 +336,7 @@ def _mc_scale_ct_rows(key, rate, s, b, c, c_pad):
 
 
 def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
-                    axis):
+                    axis, emit_pool_h=False):
     """Per-device eval encoder: x [b, S, H, W, Cin] ->
     (x1s [fa, S, b, H, W], x2ct [S*align8(2f), b*(H/2)*(W/2)]).
 
@@ -422,16 +422,23 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
 
         w1p = jnp.stack([pack_down1(d1c1["w"][g]) for g in range(s)])
         w2p = jnp.stack([pack_w3x3([d1c2["w"][g]]) for g in range(s)])
-        x2ct = fused_double_conv_ct(
+        out1 = fused_double_conv_ct(
             pooled, w1p, s1, sh1, w2p, s2, sh2,
-            h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f, align8(2 * f)),
-            c1=fa, m=2 * f, o=2 * f, group_rows_out=True, interpret=interpret,
-        )  # [s*align8(2f), b*h2*w2]
+            h=h2, w=w2, th=pick_th(h2, w2, fa, 0, 2 * f, 2 * f,
+                                   align8(2 * f), emit_hpool=emit_pool_h),
+            c1=fa, m=2 * f, o=2 * f, group_rows_out=True,
+            emit_hpool=emit_pool_h, interpret=interpret,
+        )  # [s*align8(2f), b*h2*w2] (+ H-half of the core's down2 pool)
+        x2ct, hp2 = out1 if emit_pool_h else (out1, None)
         f2a = align8(f2)
         if mc_spatial:
             sc2 = _mc_scale_ct_rows(ks[1], cfg.encoder_dropout_rate, s, b,
                                     f2, f2a)
             x2ct = _apply_mc_scale(x2ct, sc2, h2 * w2)
+            if hp2 is not None:
+                # scale commutes with the fused H-max (nonnegative
+                # per-channel constant)
+                hp2 = _apply_mc_scale(hp2, sc2, (h2 // 2) * w2)
     else:
         # ---- down1 (NHWC fallback): half width is not lane-block aligned
         # (e.g. 640/2 = 320) — run the vmapped XLA Down block instead
@@ -462,7 +469,10 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
             x2g = jnp.pad(
                 x2g, ((0, 0), (0, f2a - f2), (0, 0), (0, 0), (0, 0)))
         x2ct = x2g.reshape(s * f2a, b * h2 * w2)
+        hp2 = None
 
+    if emit_pool_h:
+        return x1s.reshape(fa, s, b, h, w), x2ct, hp2
     return x1s.reshape(fa, s, b, h, w), x2ct
 
 
@@ -751,23 +761,39 @@ def mimo_unet_apply_ct(
     k_enc, k_core, k_dec = jax.random.split(rng, 3)
     mesh, axis = _active_ct_mesh(x.shape, "eval")
 
-    enc = partial(_enc_eval_local, cfg=cfg, mc_dropout=mc_dropout,
-                  interpret=interpret, axis=axis)
-    if mesh is None:
-        x1s5, x2ct = enc(params["encoder"], state["encoder"], x, k_enc)
-    else:
-        x1s5, x2ct = jax.shard_map(
-            enc, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P()),
-            out_specs=(P(None, None, axis), P(None, axis)),
-            check_vma=False,
-        )(params["encoder"], state["encoder"], x, k_enc)
-
     f2 = 2 * f
     h2, w2 = h // 2, w // 2
-    if _ct_up3_ok(cfg, h, w):
+    up3_ct = _ct_up3_ok(cfg, h, w)
+    # when up3 runs in the CT section, the down1 kernel also emits the
+    # H-half of the core's down2 pool (free in-kernel row max) so only
+    # the W-pair selection max remains outside — replaces the 2x2
+    # reduce_window on the full half-res tensor
+    emit_ph = (up3_ct and _ct_down1_aligned(h, w)
+               and pick_th(h2, w2, align8(f), 0, f2, f2, align8(f2),
+                           emit_hpool=True) is not None)
+    enc = partial(_enc_eval_local, cfg=cfg, mc_dropout=mc_dropout,
+                  interpret=interpret, axis=axis, emit_pool_h=emit_ph)
+    enc_out_specs = ((P(None, None, axis), P(None, axis), P(None, axis))
+                     if emit_ph else (P(None, None, axis), P(None, axis)))
+    if mesh is None:
+        enc_out = enc(params["encoder"], state["encoder"], x, k_enc)
+    else:
+        enc_out = jax.shard_map(
+            enc, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=enc_out_specs,
+            check_vma=False,
+        )(params["encoder"], state["encoder"], x, k_enc)
+    if emit_ph:
+        x1s5, x2ct, hp2 = enc_out
+    else:
+        x1s5, x2ct = enc_out
+        hp2 = None
+
+    if up3_ct:
         # ---- core (up3 deferred to the CT decoder section) ------------------
-        pooled = _pool_ct(x2ct, b, h2, w2)  # [s*f2a, b*h4*w4]
+        pooled = (_wpool_ct(hp2, w2) if hp2 is not None
+                  else _pool_ct(x2ct, b, h2, w2))  # [s*f2a, b*h4*w4]
         x3_in = _nhwc_from_x2ct(pooled, s, f2, b, h2 // 2, w2 // 2)
         xu2, k_up3 = _core_mid_eval(params["core"], state["core"], x3_in,
                                     cfg, k_core, mc_dropout)
