@@ -104,15 +104,13 @@ def main():
             return out
 
         wtp = jnp.stack([tp(wp[g_]) for g_ in range(groups)])
-        xcat = None
-        if prologue:
-            xcat = x1k if not c2 else jnp.concatenate(
-                [x1k, jnp.tile(x2k, (1, n // n2))], axis=0)
+        x1p = x1k if prologue else None
+        x2p = x2k if (prologue and c2) else None
 
-        dxf = jax.jit(lambda gg, xc: T._conv_dx(
-            gg, xc, wtp, sck, shk, h=h, w=w, th=th, c1=c1a, c2=c2a, o=o,
+        dxf = jax.jit(lambda gg, a, b2: T._conv_dx(
+            gg, a, b2, wtp, sck, shk, h=h, w=w, th=th, c1=c1a, c2=c2a, o=o,
             prologue=prologue, interpret=False, out_dtype=jnp.bfloat16))
-        t_dx = timed(dxf, g, xcat)
+        t_dx = timed(dxf, g, x1p, x2p)
 
         dwf = jax.jit(lambda gg, a, b2: T._conv_dw(
             gg, a, b2, sck, shk, h=h, w=w, th=th, c1=c1a, c2=c2a, o=o,

@@ -86,10 +86,11 @@ def sweep(name, h, w, c1, c2, o, n2, prologue):
 
     wtp = jnp.stack([transpose_pack(wp[i]) for i in range(S)])
     if prologue:
-        xcat = x1 if cp == x1.shape[0] else jnp.concatenate(
-            [x1, jnp.zeros((cp - x1.shape[0], x1.shape[1]), cdt)], axis=0)
+        from mimo_unet_tpu.ops.pallas.ct_train import _pad_rows
+        x1p = _pad_rows(x1_raw, align8(c1))
+        x2p = _pad_rows(x2, align8(c2)) if c2 else None
     else:
-        xcat = None
+        x1p = x2p = None
 
     for th in (16, 32, 64):
         if h % th:
@@ -100,9 +101,9 @@ def sweep(name, h, w, c1, c2, o, n2, prologue):
                 c2=c2, o=o, n2_images=n2, prologue=prologue,
                 interpret=False)[0]
 
-        def dx_f(g, xcat, wtp, scale_k, shift_k, th=th):
+        def dx_f(g, x1p, x2p, wtp, scale_k, shift_k, th=th):
             return _conv_dx(
-                g, xcat, wtp, scale_k, shift_k, h=h, w=w, th=th, c1=c1,
+                g, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th, c1=c1,
                 c2=c2, o=o, prologue=prologue, interpret=False,
                 out_dtype=cdt)[0]
 
@@ -114,7 +115,7 @@ def sweep(name, h, w, c1, c2, o, n2, prologue):
 
         for kname, f, args in (
             ("fwd", fwd_f, (x1_raw, x2, wp, scale_k, shift_k)),
-            ("dx ", dx_f, (g, xcat, wtp, scale_k, shift_k)),
+            ("dx ", dx_f, (g, x1p, x2p, wtp, scale_k, shift_k)),
             ("dw ", dw_f, (g, x1_raw, x2, scale_k, shift_k)),
         ):
             try:

@@ -88,8 +88,8 @@ def double_conv_apply(
     # (ops/norm.py::batch_norm fold_conv_bias)
     fold = train
     b1_fold = params["conv1"]["b"] if fold else None
-    # the pad-free reflect formulation wins only without autodiff
-    # (ops/conv.py::_conv3x3_reflect_fused)
+    # pad-free reflect formulation; under train its custom VJP supplies
+    # the classic backward (ops/conv.py::_conv3x3_reflect_customgrad)
     freflect = not train
     if pair is not None:
         assert groups == 1, "pair input requires ungrouped conv1"

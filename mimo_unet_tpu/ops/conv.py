@@ -107,6 +107,58 @@ def _conv3x3_reflect_fused(x: jax.Array, w: jax.Array, groups: int) -> jax.Array
             + at(c_bl, h - 1, 0) + at(c_br, h - 1, wd - 1))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3x3_reflect_customgrad(x, w, groups):
+    """_conv3x3_reflect_fused with the CLASSIC backward.
+
+    Differentiating the fused forward makes XLA backward through the
+    eight border-correction convs (scatter chains; measured B=64 train
+    161 -> 177 ms/step, docs/PERFORMANCE.md round 3).  The gradient of
+    conv(reflect_pad(x), w) doesn't care how the forward was computed, so
+    the backward here is written out as the classic ops: dx = full
+    correlation with the flipped/swapped kernel + reflect folds (W fold
+    as the pad-matrix transpose contraction, H fold as two row adds);
+    dw = the batch-contracting conv (XLA's standard weight-gradient
+    formulation).  groups == 1 only (callers fall back otherwise).
+    """
+    return _conv3x3_reflect_fused(x, w, groups)
+
+
+def _c3rc_fwd(x, w, groups):
+    return _conv3x3_reflect_fused(x, w, groups), (x, w)
+
+
+def _c3rc_bwd(groups, res, g):
+    assert groups == 1
+    x, w = res
+    n, h, wd, _ = x.shape
+
+    # ---- dx: full correlation, then fold the pad transpose back --------
+    w_t = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # [3, 3, CO, CI]
+    dxp = lax.conv_general_dilated(
+        g, w_t, (1, 1), [(2, 2), (2, 2)],
+        dimension_numbers=_DIMENSION_NUMBERS)  # [N, H+2, W+2, CI]
+    # W fold: transpose of the reflect-pad selection matrix
+    mat = jnp.asarray(_reflect_pad_matrix(wd)).astype(dxp.dtype)
+    precision = (lax.Precision.HIGHEST if dxp.dtype == jnp.float32
+                 else None)
+    dxw = jnp.einsum("pw,nhpc->nhwc", mat, dxp, precision=precision)
+    # H fold: interior rows + reflect rows 1 / H-2
+    dx = dxw[:, 1:-1]
+    dx = dx.at[:, 1].add(dxw[:, 0])
+    dx = dx.at[:, h - 2].add(dxw[:, -1])
+
+    # ---- dw: batch-contracting conv over the re-padded input -----------
+    xp = reflect_pad1(x)
+    dw = lax.conv_general_dilated(
+        xp, g, (1, 1), "VALID",
+        dimension_numbers=("CHWN", "IHWO", "NHWC"))  # [CI, 3, 3, CO]
+    return dx.astype(x.dtype), dw.transpose(1, 2, 0, 3).astype(w.dtype)
+
+
+_conv3x3_reflect_customgrad.defvjp(_c3rc_fwd, _c3rc_bwd)
+
+
 def conv2d_init(
     key: jax.Array,
     in_channels: int,
@@ -175,15 +227,19 @@ def conv2d(
     if padding == "REFLECT":
         if not prepadded:
             ph, pw = (kh - 1) // 2, (kw - 1) // 2
-            # ``fused_reflect`` opts into the pad-free formulation: a
-            # measured WIN for the no-grad eval forward (75.1 -> 71.9 ms
-            # at B=128) but a LOSS under autodiff (the correction convs
-            # backward into scatter chains; B=64 train 161 -> 177 ms), so
-            # the caller gates it on eval
+            # ``fused_reflect`` opts into the pad-free formulation
+            # (measured WIN for the eval forward: 75.1 -> 71.9 ms at
+            # B=128).  Under autodiff it pairs with the classic backward
+            # via _conv3x3_reflect_customgrad — XLA differentiating the
+            # correction convs directly was a measured LOSS (161 -> 177
+            # ms at B=64); groups > 1 falls through to the pad path.
             if (fused_reflect
                     and (ph, pw) == (1, 1) and stride == 1 and x.ndim == 4
                     and x.shape[-3] >= 2 and x.shape[-2] >= 2):
-                y = _conv3x3_reflect_fused(x, w, groups)
+                if groups == 1:
+                    y = _conv3x3_reflect_customgrad(x, w, groups)
+                else:
+                    y = _conv3x3_reflect_fused(x, w, groups)
                 if skip_bias:
                     return y
                 return y + b.astype(y.dtype)

@@ -256,6 +256,7 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
         refs = list(refs)
         g_ref = refs.pop(0)
         x1_ref = refs.pop(0) if prologue else None
+        x2_ref = refs.pop(0) if (prologue and c2) else None
         wt_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref, col, ys = refs
         i = pl.program_id(0)
         first_img = (i % tpi) == 0
@@ -348,15 +349,25 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
             dz = dz_full[:, w:(th + 1) * w]
 
             if prologue:
-                xv = x1_ref[c0:c0 + cps].astype(jnp.float32)
-                a = xv * sc_ref[c0:c0 + cps] + sh_ref[c0:c0 + cps]
-                mask = a > 0.0
-                da = jnp.where(mask, dz, 0.0)
-                dx_ref[c0:c0 + cps] = (
-                    da * sc_ref[c0:c0 + cps]).astype(out_dtype)
-                dsc_ref[c0:c0 + cps] += jnp.sum(da * xv, axis=1,
-                                                keepdims=True)
-                dsh_ref[c0:c0 + cps] += jnp.sum(da, axis=1, keepdims=True)
+                # prologue inputs arrive as SEPARATE x1/x2 blocks (rows
+                # [0, c1a) from x1, [c1a, cp) from x2) — materializing
+                # the tiled concat in HBM cost ~4 GB of traffic per step
+                # at the flagship decoder.  Chunks may span the boundary:
+                # apply the relu/affine backward per row segment.
+                segs = []
+                if c0 < c1a:
+                    segs.append((c0, min(c0 + cps, c1a), x1_ref, 0))
+                if c2 and c0 + cps > c1a:
+                    segs.append((max(c0, c1a), c0 + cps, x2_ref, c1a))
+                for lo, hi, ref, off in segs:
+                    xv = ref[lo - off:hi - off].astype(jnp.float32)
+                    scs = sc_ref[lo:hi]
+                    a = xv * scs + sh_ref[lo:hi]
+                    da = jnp.where(a > 0.0, dz[lo - c0:hi - c0], 0.0)
+                    dx_ref[lo:hi] = (da * scs).astype(out_dtype)
+                    dsc_ref[lo:hi] += jnp.sum(da * xv, axis=1,
+                                              keepdims=True)
+                    dsh_ref[lo:hi] += jnp.sum(da, axis=1, keepdims=True)
             else:
                 dx_ref[c0:c0 + cps] = dz.astype(out_dtype)
 
@@ -381,9 +392,13 @@ def _dx_chunks(cp: int, split: bool):
     return ((0, half), (half, cp - half))
 
 
-def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
+def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
              interpret, out_dtype, split=False):
-    """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift)."""
+    """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift).
+
+    Prologue inputs come as separate aligned-row blocks: x1 [c1a, total]
+    and (when c2) x2 [c2a, n2_total] with its tile period — the concat
+    never materializes."""
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -409,9 +424,15 @@ def _conv_dx(g, x1, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     in_specs = [_x_spec(oa, th, w, n_tiles)]
     operands = [g]
     if prologue:
-        in_specs.append(pl.BlockSpec((cp, th * w), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((c1a, th * w), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
         operands.append(x1)
+        if c2:
+            n2_tiles = x2.shape[1] // (th * w)
+            in_specs.append(pl.BlockSpec(
+                (align8(c2), th * w), lambda i: (0, i % n2_tiles),
+                memory_space=pltpu.VMEM))
+            operands.append(x2)
     in_specs += [
         _gspec(wtp.shape[1:], gt),
         _gspec(scale.shape[1:], gt),
@@ -733,18 +754,15 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
 
     wtp = jnp.stack([transpose_pack(wp[g]) for g in range(grp)])
 
-    # x for the dx kernel's prologue backward: the concat input as one
-    # [cp, total] array (x2 tiled); only needed when a prologue exists
+    # prologue inputs for the dx kernel's relu/affine backward: separate
+    # aligned-row blocks (x2 keeps its period inside the kernel) — tiling
+    # + concatenating them in HBM cost ~4 GB of traffic per step at the
+    # flagship decoder shape
+    x1p = x2p = None
     if prologue:
+        x1p = _pad_rows(x1, c1a)
         if c2 is not None and c2:
-            reps = total // x2.shape[1]
-            x2_full = jnp.tile(x2, (1, reps))
-            xcat = jnp.concatenate([
-                _pad_rows(x1, c1a), _pad_rows(x2_full, c2a)], axis=0)
-        else:
-            xcat = _pad_rows(x1, cp)
-    else:
-        xcat = None
+            x2p = _pad_rows(x2, c2a)
 
     # independent tile heights per backward kernel (the dx kernel's VMEM
     # footprint differs from dw's, and deeper dx tiles win big —
@@ -761,7 +779,7 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
             th_dx, dx_split = th_dxs, True
     th_dw = pick_th_kind("dw", h, w, c1, c2, o) or min(th, 16)
     dxcat, dsc, dsh = _conv_dx(
-        g_eff, xcat, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
+        g_eff, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
         c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
         out_dtype=x1.dtype, split=dx_split)
 

@@ -272,17 +272,20 @@ class TestDxSplit:
         oa = align8(o)
         cp = align8(c1) + align8(c2)
         assert _dx_chunks(cp, True) == ((0, 40), (40, 32))
-        ks = jax.random.split(jax.random.key(0), 4)
+        ks = jax.random.split(jax.random.key(0), 5)
         g = jax.random.normal(ks[0], (oa, n * h * w)).astype(jnp.bfloat16)
-        x1 = jax.random.normal(ks[1], (cp, n * h * w)).astype(jnp.bfloat16)
+        x1 = jax.random.normal(
+            ks[1], (align8(c1), n * h * w)).astype(jnp.bfloat16)
+        x2 = jax.random.normal(
+            ks[4], (align8(c2), (n // 2) * h * w)).astype(jnp.bfloat16)
         wtp = jax.random.normal(ks[2], (1, 3 * oa, 3 * cp)).astype(
             jnp.bfloat16)
         sc = jnp.abs(jax.random.normal(ks[3], (1, cp, 1))) + 0.1
         sh = jnp.zeros((1, cp, 1))
         kw = dict(h=h, w=w, th=8, c1=c1, c2=c2, o=o, prologue=True,
                   interpret=True, out_dtype=jnp.bfloat16)
-        a = _conv_dx(g, x1, wtp, sc, sh, **kw)
-        b = _conv_dx(g, x1, wtp, sc, sh, split=True, **kw)
+        a = _conv_dx(g, x1, x2, wtp, sc, sh, **kw)
+        b = _conv_dx(g, x1, x2, wtp, sc, sh, split=True, **kw)
         for va, vb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(va, np.float32),
                                           np.asarray(vb, np.float32))

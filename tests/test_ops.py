@@ -66,6 +66,56 @@ class TestConv2d:
         want = to_nhwc(tconv(nchw(x)))
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
+    def test_fused_reflect_custom_grad_matches_pad_path(self, rng):
+        """The pad-free reflect conv's custom VJP (classic backward,
+        ops/conv.py::_conv3x3_reflect_customgrad) must match the
+        materialized-pad path's gradients: same math, different forward
+        formulation (reference components.py:23 reflect-padded 3x3)."""
+        cin, cout = 5, 7
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, cin),
+                                            dtype=np.float32))
+        params = conv2d_init(jax.random.key(3), cin, cout, 3)
+
+        def loss(x, w, fused):
+            y = conv2d(x, {"w": w, "b": params["b"]}, padding="REFLECT",
+                       fused_reflect=fused)
+            return jnp.sum(y * jnp.cos(y))  # nontrivial cotangents
+
+        (va, (dxa, dwa)) = jax.value_and_grad(loss, (0, 1))(
+            x, params["w"], False)
+        (vb, (dxb, dwb)) = jax.value_and_grad(loss, (0, 1))(
+            x, params["w"], True)
+        np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dwa), np.asarray(dwb),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_fused_reflect_custom_grad_under_vmap(self, rng):
+        """The vmapped per-subnetwork encoder/decoder path differentiates
+        the fused conv under vmap."""
+        cin, cout, s = 4, 6, 2
+        x = jnp.asarray(rng.standard_normal((s, 2, 8, 8, cin),
+                                            dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((s, 3, 3, cin, cout),
+                                            dtype=np.float32)) * 0.1
+        b = jnp.zeros((s, cout))
+
+        def one(x, w, b, fused):
+            return jnp.sum(conv2d(x, {"w": w, "b": b}, padding="REFLECT",
+                                  fused_reflect=fused) ** 2)
+
+        def loss(x, w, fused):
+            return jnp.sum(jax.vmap(one, in_axes=(0, 0, 0, None))(
+                x, w, b, fused))
+
+        dxa, dwa = jax.grad(loss, (0, 1))(x, w, False)
+        dxb, dwb = jax.grad(loss, (0, 1))(x, w, True)
+        np.testing.assert_allclose(np.asarray(dxa), np.asarray(dxb),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dwa), np.asarray(dwb),
+                                   atol=1e-4, rtol=1e-4)
+
     def test_init_bounds(self):
         params = conv2d_init(jax.random.key(0), 16, 32, 3)
         bound = 1.0 / np.sqrt(16 * 9)
