@@ -1062,7 +1062,15 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
 
     if _ct_train_down1_aligned(h, w):
         # ---- down1 (CT kernels) --------------------------------------------
-        pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
+        from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool2x2_ct,
+                                                      pool_ct_supported)
+
+        if pool_ct_supported(fa, n, h, w):
+            # pool in the CT tiling: the 4D reduce_window form retiles the
+            # full-res tensor both ways (2 x 805 MB copies at the flagship)
+            pooled = max_pool2x2_ct(x1s, n, h, w, interpret)
+        else:
+            pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)
         d1 = enc_p["down1"]
         w3p = jnp.stack([pack_w3x3([widen(d1["conv1"]["w"][g], f, fa, f2)])
                          for g in range(s)])

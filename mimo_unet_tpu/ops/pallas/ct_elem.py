@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mimo_unet_tpu.ops.pallas.ct_conv import _use_interpret, align8
+from mimo_unet_tpu.ops.pallas.ct_conv import _roll, _use_interpret, align8
 
 
 def _block_lanes(total: int, groups: int, rows: int) -> int:
@@ -153,6 +153,130 @@ def g_eff_ct(dy, y, dsum, dsumsq, o_real, groups, interpret=None):
 
     return _elem_call(kern, [dy, y], [ds, dq], [(oa, y.dtype)],
                       y.shape[1], groups, [oa, oa], interpret)
+
+
+def _pool_tr(c: int, n: int, h: int, w: int):
+    """Input-row-pair tile count for max_pool2x2_ct (None = no fit)."""
+    rows = n * h
+    w2 = w // 2
+    for tr in (64, 32, 16, 8, 4, 2, 1):
+        if (rows // 2) % tr:
+            continue
+        vmem = ((c * 2 * tr * w * 2 + c * tr * w2 * 2) * 2
+                + c * w * 4 * 6 + w * w2 * 4 * 2)
+        if vmem <= 8 * 2 ** 20:
+            return tr
+    return None
+
+
+def pool_ct_supported(c: int, n: int, h: int, w: int) -> bool:
+    return (w % 256 == 0 and h % 2 == 0
+            and _pool_tr(c, n, h, w) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def max_pool2x2_ct(x, n, h, w, interpret):
+    """2x2/stride-2 max pool directly on the CT tiling:
+    [C, n*h*w] -> [C, n*(h//2)*(w//2)].
+
+    The 4D ``reshape + reduce_window`` form physically retiles the tensor
+    on the way in and the cotangent on the way out (the channel-sublane
+    [C, N] tiling vs the row-sublane 4D tiling — two 805 MB copies per
+    step at the flagship encoder, train HLO copy.404/413).  Here H-pairs
+    are adjacent w-lane blocks (max + lane roll) and the W-pair compress
+    is an exact 0/1 selection dot, so the pool reads and writes the
+    kernels' native layout at memory speed.  Gradient keeps the
+    equality-mask semantics of ops/pooling.py max_pool_2x2 (reference
+    MaxPool2d, components.py:48)."""
+    c = x.shape[0]
+    w2 = w // 2
+    tr = _pool_tr(c, n, h, w)
+    sel = jnp.zeros((w, w2), jnp.float32).at[
+        2 * jnp.arange(w2), jnp.arange(w2)].set(1.0)
+
+    def kern(x_ref, sel_ref, y_ref):
+        sv = sel_ref[...]
+        for k in range(tr):
+            r0 = x_ref[:, (2 * k) * w:(2 * k + 1) * w].astype(jnp.float32)
+            r1 = x_ref[:, (2 * k + 1) * w:(2 * k + 2) * w].astype(jnp.float32)
+            hm = jnp.maximum(r0, r1)
+            wm = jnp.maximum(hm, _roll(hm, -1, interpret))
+            out = jax.lax.dot_general(
+                wm, sv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_ref[:, k * w2:(k + 1) * w2] = out.astype(y_ref.dtype)
+
+    n_blocks = (n * h) // (2 * tr)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n * (h // 2) * w2), x.dtype),
+        interpret=interpret,
+    )(x, sel)
+
+
+def _pool_ct_fwd(x, n, h, w, interpret):
+    y = max_pool2x2_ct(x, n, h, w, interpret)
+    return y, (x, y)
+
+
+def _pool_ct_bwd(n, h, w, interpret, res, g):
+    x, y = res
+    c = x.shape[0]
+    w2 = w // 2
+    tr = _pool_tr(c, n, h, w)
+    up = jnp.zeros((w2, w), jnp.float32)
+    up = up.at[jnp.arange(w2), 2 * jnp.arange(w2)].set(1.0)
+    up = up.at[jnp.arange(w2), 2 * jnp.arange(w2) + 1].set(1.0)
+
+    def kern(g_ref, x_ref, y_ref, up_ref, gx_ref):
+        uv = up_ref[...]
+        for k in range(tr):
+            yk = y_ref[:, k * w2:(k + 1) * w2].astype(jnp.float32)
+            gk = g_ref[:, k * w2:(k + 1) * w2].astype(jnp.float32)
+            y_up = jax.lax.dot_general(
+                yk, uv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_up = jax.lax.dot_general(
+                gk, uv, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            for r in range(2):
+                lo = (2 * k + r) * w
+                xr = x_ref[:, lo:lo + w].astype(jnp.float32)
+                gx_ref[:, lo:lo + w] = jnp.where(
+                    xr == y_up, g_up, 0.0).astype(gx_ref.dtype)
+
+    n_blocks = (n * h) // (2 * tr)
+    gx = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(g, x, y, up)
+    return (gx,)
+
+
+max_pool2x2_ct.defvjp(_pool_ct_fwd, _pool_ct_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

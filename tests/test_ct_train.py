@@ -289,3 +289,37 @@ class TestDxSplit:
         for va, vb in zip(a, b):
             np.testing.assert_array_equal(np.asarray(va, np.float32),
                                           np.asarray(vb, np.float32))
+
+
+class TestPoolCT:
+    def test_ct_pool_matches_4d_reduce_window_bitwise(self):
+        """max_pool2x2_ct is a layout-preserving restructure of the 4D
+        reshape + reduce_window pool (reference MaxPool2d,
+        components.py:48): forward and equality-mask gradient must agree
+        bitwise, including on ties."""
+        from mimo_unet_tpu.models.fast_path import _max_pool_ct
+        from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool2x2_ct,
+                                                      pool_ct_supported)
+
+        c, n, h, w = 8, 3, 8, 256
+        assert pool_ct_supported(c, n, h, w)
+        x = jax.random.normal(jax.random.key(0), (c, n * h * w)).astype(
+            jnp.bfloat16)
+        # quantize a third of the values so 2x2 windows contain exact ties
+        tie = jax.random.bernoulli(jax.random.key(1), 0.3, x.shape)
+        x = jnp.where(tie, jnp.round(x * 2) / 2, x).astype(jnp.bfloat16)
+
+        def ref(v):
+            return _max_pool_ct(v.reshape(c, n, h, w)).reshape(c, -1)
+
+        def new(v):
+            return max_pool2x2_ct(v, n, h, w, True)
+
+        np.testing.assert_array_equal(
+            np.asarray(ref(x), np.float32), np.asarray(new(x), np.float32))
+
+        wts = jax.random.normal(jax.random.key(2), (c, n * (h // 2) * (w // 2)))
+        g_ref = jax.grad(lambda v: jnp.sum(ref(v).astype(jnp.float32) * wts))(x)
+        g_new = jax.grad(lambda v: jnp.sum(new(v).astype(jnp.float32) * wts))(x)
+        np.testing.assert_array_equal(np.asarray(g_ref, np.float32),
+                                      np.asarray(g_new, np.float32))
