@@ -240,25 +240,41 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
 
 def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                     interpret, chunks=None):
+                     interpret, chunks=None, fold_grp=0):
     """dz = transpose of (reflect-pad + 3x3 conv) applied to g, then the
     prologue's relu/affine backward.  g col part dy position p (of th+2)
     holds g flat row i*th + p - dy (zero outside the image, with the
-    reflect folds added in-column)."""
+    reflect folds added in-column).
+
+    ``fold_grp`` > 0 switches to the period-fold grid (see _conv_dx): the
+    grid is (n2_tiles, grp) with the group axis minor, the x2 cotangent
+    rows accumulate across the grp repetitions in an f32 scratch (bf16
+    round-trip per step — bitwise the external slice-add fold) and are
+    written once per tile to a separate [c2a, n2_total] output.  Requires
+    prologue=False (the only train case with c2 — decoder conv1)."""
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     oa = align8(o)
     r1 = th + 2
     chunks = chunks or ((0, cp),)
+    fold = fold_grp > 0
+    assert not (fold and prologue)
 
     def kernel(*refs):
         refs = list(refs)
         g_ref = refs.pop(0)
         x1_ref = refs.pop(0) if prologue else None
         x2_ref = refs.pop(0) if (prologue and c2) else None
-        wt_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref, col, ys = refs
-        i = pl.program_id(0)
+        if fold:
+            (wt_ref, sc_ref, sh_ref, dx_ref, dx2_ref, dsc_ref, dsh_ref,
+             col, ys, acc) = refs
+            t_id = pl.program_id(0)
+            r_id = pl.program_id(1)
+            i = r_id * gt + t_id
+        else:
+            wt_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref, col, ys = refs
+            i = pl.program_id(0)
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
@@ -368,8 +384,29 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
                     dsc_ref[lo:hi] += jnp.sum(da * xv, axis=1,
                                               keepdims=True)
                     dsh_ref[lo:hi] += jnp.sum(da, axis=1, keepdims=True)
+            elif fold:
+                lo1, hi1 = c0, min(c0 + cps, c1a)
+                if hi1 > lo1:
+                    dx_ref[lo1:hi1] = dz[lo1 - c0:hi1 - c0].astype(out_dtype)
+                lo2, hi2 = max(c0, c1a), c0 + cps
+                if hi2 > lo2:
+                    val = dz[lo2 - c0:hi2 - c0].astype(out_dtype).astype(
+                        jnp.float32)
+
+                    @pl.when(r_id == 0)
+                    def _(val=val, lo2=lo2, hi2=hi2):
+                        acc[lo2 - c1a:hi2 - c1a] = val
+
+                    @pl.when(r_id > 0)
+                    def _(val=val, lo2=lo2, hi2=hi2):
+                        acc[lo2 - c1a:hi2 - c1a] += val
             else:
                 dx_ref[c0:c0 + cps] = dz.astype(out_dtype)
+
+        if fold:
+            @pl.when(r_id == fold_grp - 1)
+            def _():
+                dx2_ref[...] = acc[...].astype(out_dtype)
 
     return kernel
 
@@ -393,12 +430,19 @@ def _dx_chunks(cp: int, split: bool):
 
 
 def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
-             interpret, out_dtype, split=False):
+             interpret, out_dtype, split=False, fold_n2_total=None):
     """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift).
 
     Prologue inputs come as separate aligned-row blocks: x1 [c1a, total]
     and (when c2) x2 [c2a, n2_total] with its tile period — the concat
-    never materializes."""
+    never materializes.
+
+    ``fold_n2_total`` (requires c2, no prologue, reps == groups) switches
+    to the period-fold form: returns (dx1 [c1a, total], dx2 [c2a,
+    n2_total], dsc, dsh) with the x2 cotangent summed over its tile
+    repetitions inside the kernel — the tiled [c2a, total] cotangent
+    never lands in HBM (1.6 GB write + 1.6 GB read per step at the
+    flagship decoder, plus the external slice-add pass)."""
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -407,6 +451,11 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     c1a = align8(c1)
     cp = c1a + (align8(c2) if c2 else 0)
     oa = align8(o)
+    fold = fold_n2_total is not None
+    if fold:
+        assert c2 and not prologue
+        assert total // fold_n2_total == grp
+        assert gt == fold_n2_total // (w * th)
     chunks = _dx_chunks(cp, split)
     if len(chunks) > 1:
         # permute wt output columns (wtp is [G, 3oa, 3cp]) so each chunk's
@@ -419,7 +468,14 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     kern = _dx_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=1, gt=gt,
         prologue=prologue, out_dtype=out_dtype, interpret=interpret,
-        chunks=chunks)
+        chunks=chunks, fold_grp=grp if fold else 0)
+
+    if fold:
+        return _conv_dx_fold_call(
+            kern, g, wtp, scale, shift, th=th, w=w, c1a=c1a,
+            c2a=align8(c2), cp=cp, oa=oa, grp=grp, gt=gt, total=total,
+            n2_total=fold_n2_total, out_dtype=out_dtype,
+            interpret=interpret, chunks=chunks)
 
     in_specs = [_x_spec(oa, th, w, n_tiles)]
     operands = [g]
@@ -465,6 +521,58 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
         interpret=interpret,
     )(*operands)
     return dx, dsc[..., 0], dsh[..., 0]
+
+
+def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
+                       oa, grp, gt, total, n2_total, out_dtype, interpret,
+                       chunks):
+    """pallas_call plumbing for the period-fold dx grid: (n2_tiles, grp)
+    with the group axis minor, so the dx2 output block and its f32
+    accumulator stay resident across the grp repetitions of each tile."""
+    n2t = gt
+
+    def g_map(t, r):
+        return (0, pl.multiple_of(
+            jnp.maximum((r * n2t + t) * th - 4, 0) * w, 128))
+
+    g_spec = pl.BlockSpec(
+        (pl.Element(oa), pl.Element((th + 8) * w, padding=(0, 8 * w))),
+        g_map, memory_space=pltpu.VMEM)
+
+    def p_spec(shape):
+        return pl.BlockSpec((None,) + shape, lambda t, r: (r, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dx1, dx2, dsc, dsh = pl.pallas_call(
+        kern,
+        grid=(n2t, grp),
+        in_specs=[g_spec, p_spec(wtp.shape[1:]), p_spec(scale.shape[1:]),
+                  p_spec(shift.shape[1:])],
+        out_specs=(
+            pl.BlockSpec((c1a, th * w), lambda t, r: (0, r * n2t + t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2a, th * w), lambda t, r: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cp, 1), lambda t, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cp, 1), lambda t, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c1a, total), out_dtype),
+            jax.ShapeDtypeStruct((c2a, n2_total), out_dtype),
+            jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+                       jnp.float32),
+            pltpu.VMEM((c2a, th * w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g, wtp.astype(g.dtype), scale, shift)
+    return dx1, dx2, dsc[..., 0], dsh[..., 0]
 
 
 # ---------------------------------------------------------------------------
@@ -630,14 +738,18 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     cp = align8(c1) + (align8(c2) if c2 else 0)
     oa = align8(o)
     r2w = (th + 2) * w
-    if kind in ("dx", "dx_split"):
+    if kind in ("dx", "dx_split", "dx_fold", "dx_fold_split"):
         cps = (max(c for _, c in _dx_chunks(cp, True))
-               if kind == "dx_split" else cp)
-        return (3 * oa * r2w * 2        # g column scratch (bf16)
+               if kind.endswith("_split") else cp)
+        base = (3 * oa * r2w * 2        # g column scratch (bf16)
                 + 3 * cps * r2w * 4     # dx plane scratch (f32)
                 + 2 * cp * th * w * 4   # dx out block, double-buffered
                 + 2 * oa * (th + 6) * w * 2  # g in slab, double-buffered
                 + 2 * cp * th * w * 2)  # x1 prologue slab, double-buffered
+        if kind.startswith("dx_fold"):
+            # fold has no prologue slab but carries the f32 x2 accumulator
+            base += align8(c2) * th * w * 4 - 2 * cp * th * w * 2
+        return base
     temps = 3 * oa * th * w * 4  # combine/stats vector temporaries (f32)
     if kind == "fwd":
         return (3 * cp * th * w * 2 + 3 * oa * th * w * 4
@@ -659,7 +771,9 @@ def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
 # VMEM estimate rejects).  dw is non-monotone past 32 (down1 and dec.c2
 # prefer 16-32 even where 64 fits), so its ladder stays 32-first.
 _TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
-              "dx_split": (64, 32, 16, 8, 4), "dw": (32, 16, 8, 4)}
+              "dx_split": (64, 32, 16, 8, 4), "dw": (32, 16, 8, 4),
+              "dx_fold": (64, 32, 16, 8, 4),
+              "dx_fold_split": (64, 32, 16, 8, 4)}
 
 
 def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
@@ -771,17 +885,29 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     # unlocks a deeper tile (halved f32 ys scratch — the dx pick for
     # dec.c1 moves 16 -> 32 at the flagship).
     cp_ = align8(c1) + (align8(c2) if c2 else 0)
-    th_dx = pick_th_kind("dx", h, w, c1, c2, o) or min(th, 16)
+    # period-fold dx (c2 without prologue, reps == groups — the train
+    # decoder conv1): the kernel sums the x2 cotangent over its tile
+    # repetitions in VMEM, so the tiled [c2a, total] cotangent and the
+    # external slice-add fold never touch HBM
+    fold_ok = bool(c2) and not prologue and total // x2.shape[1] == grp
+    kind_base = "dx_fold" if fold_ok else "dx"
+    th_dx = pick_th_kind(kind_base, h, w, c1, c2, o) or min(th, 16)
     dx_split = False
     if cp_ >= 64:
-        th_dxs = pick_th_kind("dx_split", h, w, c1, c2, o)
+        th_dxs = pick_th_kind(kind_base + "_split", h, w, c1, c2, o)
         if th_dxs is not None and th_dxs > th_dx:
             th_dx, dx_split = th_dxs, True
     th_dw = pick_th_kind("dw", h, w, c1, c2, o) or min(th, 16)
-    dxcat, dsc, dsh = _conv_dx(
-        g_eff, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
-        c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
-        out_dtype=x1.dtype, split=dx_split)
+    if fold_ok:
+        dx1_rows, dx2_rows_f, dsc, dsh = _conv_dx(
+            g_eff, None, None, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
+            c1=c1, c2=c2, o=o, prologue=False, interpret=interpret,
+            out_dtype=x1.dtype, split=dx_split, fold_n2_total=x2.shape[1])
+    else:
+        dxcat, dsc, dsh = _conv_dx(
+            g_eff, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
+            c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
+            out_dtype=x1.dtype, split=dx_split)
 
     dwp = _conv_dw(
         g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=th_dw,
@@ -791,22 +917,27 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     # units of align8(o) == oa with 3 dx blocks — same layout; cast to wp
     dwp = dwp.astype(wp.dtype)
 
-    dx1 = dxcat[:c1]
-    if c2:
-        # sum the tiled x2 cotangent over its repetitions with lane-aligned
-        # slice adds: the reshape([c2, reps, n2]) + reduce form retiles the
-        # whole tensor to T(2,128) and costs ~17 ms/step at B=64 (profiler
-        # trace, docs/PERFORMANCE.md round 3); slices on the lane axis keep
-        # T(8,128) and the adds fuse to one memory-speed pass
-        n2_total = x2.shape[1]
-        reps = total // n2_total
-        dx2_rows = dxcat[c1a:c1a + c2]
-        dx2 = dx2_rows[:, :n2_total].astype(jnp.float32)
-        for r in range(1, reps):
-            dx2 = dx2 + dx2_rows[:, r * n2_total:(r + 1) * n2_total]
-        dx2 = dx2.astype(x2.dtype)
+    if fold_ok:
+        dx1 = dx1_rows[:c1]
+        dx2 = dx2_rows_f[:c2]
     else:
-        dx2 = None
+        dx1 = dxcat[:c1]
+        if c2:
+            # sum the tiled x2 cotangent over its repetitions with
+            # lane-aligned slice adds: the reshape([c2, reps, n2]) + reduce
+            # form retiles the whole tensor to T(2,128) and costs ~17
+            # ms/step at B=64 (profiler trace, docs/PERFORMANCE.md round
+            # 3); slices on the lane axis keep T(8,128) and the adds fuse
+            # to one memory-speed pass
+            n2_total = x2.shape[1]
+            reps = total // n2_total
+            dx2_rows = dxcat[c1a:c1a + c2]
+            dx2 = dx2_rows[:, :n2_total].astype(jnp.float32)
+            for r in range(1, reps):
+                dx2 = dx2 + dx2_rows[:, r * n2_total:(r + 1) * n2_total]
+            dx2 = dx2.astype(x2.dtype)
+        else:
+            dx2 = None
     if prologue:
         dscale = dsc[:, :, None].astype(scale.dtype)
         dshift = dsh[:, :, None].astype(shift.dtype)

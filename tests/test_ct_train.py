@@ -323,3 +323,46 @@ class TestPoolCT:
         g_new = jax.grad(lambda v: jnp.sum(new(v).astype(jnp.float32) * wts))(x)
         np.testing.assert_array_equal(np.asarray(g_ref, np.float32),
                                       np.asarray(g_new, np.float32))
+
+
+class TestDxFold:
+    def test_fold_matches_external_slice_add_fold_bitwise(self):
+        """The period-fold dx grid (x2 cotangent summed over its tile
+        repetitions inside the kernel) must match the external
+        slice-add fold bitwise: both sum the bf16-rounded per-repetition
+        cotangents in f32 and round once."""
+        from mimo_unet_tpu.ops.pallas.ct_train import _conv_dx
+
+        c1, c2, o = 24, 48, 31  # flagship decoder conv1
+        h, w, n, grp = 16, 256, 4, 2
+        oa, c1a, c2a = align8(o), align8(c1), align8(c2)
+        cp = c1a + c2a
+        total = n * h * w
+        n2_total = (n // grp) * h * w
+        ks = jax.random.split(jax.random.key(0), 2)
+        g = jax.random.normal(ks[0], (oa, total)).astype(jnp.bfloat16)
+        wtp = jax.random.normal(ks[1], (grp, 3 * oa, 3 * cp)).astype(
+            jnp.bfloat16)
+        sc = jnp.ones((grp, cp, 1), jnp.float32)
+        sh = jnp.zeros((grp, cp, 1), jnp.float32)
+        kw = dict(h=h, w=w, th=8, c1=c1, c2=c2, o=o, prologue=False,
+                  interpret=True, out_dtype=jnp.bfloat16)
+
+        for split in (False, True):
+            dxcat, _, _ = _conv_dx(g, None, None, wtp, sc, sh, split=split,
+                                   **kw)
+            rows = dxcat[c1a:c1a + c2]
+            dx2_ref = rows[:, :n2_total].astype(jnp.float32)
+            for r in range(1, grp):
+                dx2_ref = dx2_ref + rows[:, r * n2_total:(r + 1) * n2_total]
+            dx2_ref = dx2_ref.astype(jnp.bfloat16)
+
+            dx1_f, dx2_f, _, _ = _conv_dx(
+                g, None, None, wtp, sc, sh, split=split,
+                fold_n2_total=n2_total, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(dxcat[:c1a], np.float32),
+                np.asarray(dx1_f, np.float32))
+            np.testing.assert_array_equal(
+                np.asarray(dx2_ref, np.float32),
+                np.asarray(dx2_f[:c2], np.float32))
