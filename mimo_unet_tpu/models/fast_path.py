@@ -1126,7 +1126,7 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
                      axis):
     """Per-device train decoder: (x1s [fa, S, b, H, W], x_up NHWC) ->
     (logits [b, S, H, W, out_channels] f32, new_dec_state)."""
-    from mimo_unet_tpu.ops.pallas.ct_elem import affine_relu_ct, conv1x1_ct
+    from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_prelu_ct
     from mimo_unet_tpu.ops.pallas.ct_train import conv3x3_ct_train
 
     fa, s, b, h, w = x1s5.shape
@@ -1140,16 +1140,20 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     def widen(wg, c_real, c_pad, m):
         return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
 
-    def apply_affine(y, sc, sh, c_real):
-        return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
-                              interpret)
-
     c_up = x_up.shape[-1]
     c_up_a = align8(c_up)
     xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))
     if c_up_a != c_up:
         xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
-    xup_ct = _upsample_ct_x2(xup_ct.reshape(c_up_a, -1), b, h2, w2)
+    from mimo_unet_tpu.ops.pallas.ct_resize import (upsample2x_ct,
+                                                    upsample2x_ct_supported)
+    xup_flat = xup_ct.reshape(c_up_a, -1)
+    if upsample2x_ct_supported(c_up_a, b, h2, w2):
+        # one Pallas pass each way; the matmul-einsum form costs ~14 ms
+        # of the B=128 flagship step in XLA layout copies
+        xup_ct = upsample2x_ct(xup_flat, b, h2, w2, interpret)
+    else:
+        xup_ct = _upsample_ct_x2(xup_flat, b, h2, w2)
 
     up4 = dec_p["up4"]["conv"]
     mid_c = up4["conv1"]["w"].shape[4]
@@ -1180,15 +1184,18 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     sc6, sh6, new_dec["up4"]["conv"]["bn2"] = _bn_affine_from_stats(
         s6, q6, cnt_full, up4["conv2"]["b"], up4["bn2"],
         dec_s["up4"]["conv"]["bn2"])
-    z6 = apply_affine(y6, sc6, sh6, f)  # [fa, n*h*w]
 
-    # ---- out conv (1x1, per group) ------------------------------------------
+    # ---- out conv (1x1, per group), bn2 affine+relu folded in --------------
+    # (the activated z6 never lands in HBM: conv1x1_prelu_ct recomputes
+    # relu(y6*sc6+sh6) in VMEM both ways — 5 full-res passes saved)
     outc = dec_p["outc"]
     oc = outc["w"].shape[4]
     oca = align8(oc)
     wo = jnp.zeros((s, f, oca)).at[:, :, :oc].set(outc["w"][:, 0, 0])
     bo = jnp.zeros((s, oca, 1)).at[:, :oc, 0].set(outc["b"])
-    logits_ct = conv1x1_ct(z6, wo, bo, f, s, interpret)  # [oca, n*h*w]
+    logits_ct = conv1x1_prelu_ct(
+        y6, sc6[..., None], sh6[..., None], wo, bo, f, s,
+        interpret)  # [oca, n*h*w]
 
     logits = logits_ct[:oc].reshape(oc, s, b, h, w)
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)

@@ -471,6 +471,7 @@ def fused_double_conv9_ct(
     r1w = (th + 2) * w
     return pl.pallas_call(
         kern,
+        name=f"dc9_c{c1}m{m}o{o}_th{th}w{w}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -773,6 +774,7 @@ def fused_double_conv_ct(
                      jax.ShapeDtypeStruct((rows, cols // 2), x1.dtype))
     return pl.pallas_call(
         kern,
+        name=f"dc_c{c1}x{c2}m{m}o{o}_th{th}w{w}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -44,7 +44,8 @@ def _gparam_spec(shape, bpg):
 
 
 def _elem_call(kern, operands, gparams, out_shapes, total, groups,
-               rows_list, interpret, n_stats=0, stats_rows=0, bpg_out=None):
+               rows_list, interpret, n_stats=0, stats_rows=0, bpg_out=None,
+               name="ct_elem"):
     """Run ``kern`` over column blocks; operands are [rows, total] arrays,
     gparams [G, k, 1] per-group columns; optional accumulated stats
     outputs [G, stats_rows, 1]."""
@@ -74,6 +75,7 @@ def _elem_call(kern, operands, gparams, out_shapes, total, groups,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_sh) if len(out_sh) > 1 else out_sh[0],
         interpret=interpret,
+        name=name,
     )(*operands, *gparams)
 
 
@@ -92,7 +94,8 @@ def affine_relu_ct(y, scale, shift, c_real, groups, interpret):
                 (ca - c_real, z_ref.shape[1]), z_ref.dtype)
 
     return _elem_call(kern, [y], [scale, shift], [(ca, y.dtype)],
-                      y.shape[1], groups, [ca], interpret)
+                      y.shape[1], groups, [ca], interpret,
+                      name=f"affine_relu_c{c_real}")
 
 
 def _affine_relu_fwd(y, scale, shift, c_real, groups, interpret):
@@ -126,7 +129,8 @@ def _affine_relu_bwd(c_real, groups, interpret, res, dz):
     dy, dsc, dsh = _elem_call(
         kern, [dz, y], [scale, shift], [(ca, y.dtype)],
         y.shape[1], groups, [ca, ca], interpret,
-        n_stats=2, stats_rows=scale.shape[1])
+        n_stats=2, stats_rows=scale.shape[1],
+        name=f"affine_relu_bwd_c{c_real}")
     return dy, dsc, dsh
 
 
@@ -152,7 +156,8 @@ def g_eff_ct(dy, y, dsum, dsumsq, o_real, groups, interpret=None):
                 (oa - o_real, g_ref.shape[1]), g_ref.dtype)
 
     return _elem_call(kern, [dy, y], [ds, dq], [(oa, y.dtype)],
-                      y.shape[1], groups, [oa, oa], interpret)
+                      y.shape[1], groups, [oa, oa], interpret,
+                      name=f"g_eff_c{o_real}")
 
 
 def _pool_tr(c: int, n: int, h: int, w: int):
@@ -220,6 +225,7 @@ def max_pool2x2_ct(x, n, h, w, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, n * (h // 2) * w2), x.dtype),
         interpret=interpret,
+        name=f"maxpool_ct_c{c}_w{w}",
     )(x, sel)
 
 
@@ -272,6 +278,7 @@ def _pool_ct_bwd(n, h, w, interpret, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
+        name=f"maxpool_ct_bwd_c{c}_w{w}",
     )(g, x, y, up)
     return (gx,)
 
@@ -298,7 +305,8 @@ def conv1x1_ct(z, wo, bo, c_real, groups, interpret):
                 out_ref.dtype)
 
     return _elem_call(kern, [z], [wo.astype(z.dtype), bo], [(oca, z.dtype)],
-                      z.shape[1], groups, [z.shape[0]], interpret)
+                      z.shape[1], groups, [z.shape[0]], interpret,
+                      name=f"conv1x1_c{c_real}")
 
 
 def _conv1x1_fwd(z, wo, bo, c_real, groups, interpret):
@@ -360,8 +368,124 @@ def _conv1x1_bwd(c_real, groups, interpret, res, g):
             jax.ShapeDtypeStruct((groups, oca, 1), jnp.float32),
         ),
         interpret=interpret,
+        name=f"conv1x1_bwd_c{c_real}",
     )(g, z, wo.astype(z.dtype))
     return dz, dwo.astype(wo.dtype), dbo
 
 
 conv1x1_ct.defvjp(_conv1x1_fwd, _conv1x1_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv1x1_prelu_ct(y, scale, shift, wo, bo, c_real, groups, interpret):
+    """Grouped 1x1 conv with the preceding BatchNorm affine + ReLU folded
+    in: out = wo^T . relu(y*scale + shift) + bo.
+
+    Train-path fusion of ``affine_relu_ct`` + ``conv1x1_ct``: the
+    activated tensor z never lands in HBM (two full-res passes saved
+    forward, three backward at the flagship decoder).  z is computed in
+    f32 and cast to ``y.dtype`` before the dot — bitwise the composed
+    pair.  y [Ca, total]; scale/shift [G, Ca, 1] f32; wo [G, c_real,
+    OCa]; bo [G, OCa, 1].  Returns [OCa, total].
+    """
+    oca = wo.shape[2]
+
+    def kern(y_ref, sc_ref, sh_ref, wo_ref, bo_ref, out_ref, *, bpg):
+        a = (y_ref[0:c_real, :].astype(jnp.float32) * sc_ref[0:c_real]
+             + sh_ref[0:c_real])
+        z = jnp.maximum(a, 0.0).astype(y_ref.dtype)
+        out_ref[...] = (jax.lax.dot_general(
+            wo_ref[:], z, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bo_ref[:]).astype(
+                out_ref.dtype)
+
+    return _elem_call(kern, [y], [scale, shift, wo.astype(y.dtype), bo],
+                      [(oca, y.dtype)], y.shape[1], groups, [y.shape[0]],
+                      interpret, name=f"conv1x1_prelu_c{c_real}")
+
+
+def _conv1x1_prelu_fwd(y, scale, shift, wo, bo, c_real, groups, interpret):
+    out = conv1x1_prelu_ct(y, scale, shift, wo, bo, c_real, groups,
+                           interpret)
+    return out, (y, scale, shift, wo)
+
+
+def _conv1x1_prelu_bwd(c_real, groups, interpret, res, g):
+    y, scale, shift, wo = res
+    ca = y.shape[0]
+    oca = wo.shape[2]
+    sr = scale.shape[1]  # scale/shift rows (>= c_real, may be < ca)
+
+    def kern(g_ref, y_ref, sc_ref, sh_ref, wo_ref, dy_ref, dwo_ref,
+             dbo_ref, dsc_ref, dsh_ref, *, bpg):
+        i = pl.program_id(0)
+        gv = g_ref[...]
+        yv = y_ref[0:c_real, :].astype(jnp.float32)
+        a = yv * sc_ref[0:c_real] + sh_ref[0:c_real]
+        z = jnp.maximum(a, 0.0).astype(y_ref.dtype)
+        dz = jax.lax.dot_general(
+            wo_ref[:], gv, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da = jnp.where(a > 0.0, dz, 0.0)
+        dy_ref[0:c_real, :] = (da * sc_ref[0:c_real]).astype(dy_ref.dtype)
+        if ca > c_real:
+            dy_ref[c_real:ca, :] = jnp.zeros(
+                (ca - c_real, dy_ref.shape[1]), dy_ref.dtype)
+
+        @pl.when((i % bpg) == 0)
+        def _():
+            dwo_ref[...] = jnp.zeros_like(dwo_ref)
+            dbo_ref[...] = jnp.zeros_like(dbo_ref)
+            dsc_ref[...] = jnp.zeros_like(dsc_ref)
+            dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+        dwo_ref[...] += jax.lax.dot_general(
+            z, gv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbo_ref[...] += jnp.sum(gv.astype(jnp.float32), axis=1,
+                                keepdims=True)
+        dsc_ref[0:c_real, :] += jnp.sum(da * yv, axis=1, keepdims=True)
+        dsh_ref[0:c_real, :] += jnp.sum(da, axis=1, keepdims=True)
+
+    bl = _block_lanes(y.shape[1], groups, ca)
+    n_blocks = y.shape[1] // bl
+    bpg = n_blocks // groups
+    dy, dwo, dbo, dsc, dsh = pl.pallas_call(
+        functools.partial(kern, bpg=bpg),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((oca, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ca, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            _gparam_spec(scale.shape[1:], bpg),
+            _gparam_spec(shift.shape[1:], bpg),
+            _gparam_spec(wo.shape[1:], bpg),
+        ],
+        out_specs=(
+            pl.BlockSpec((ca, bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, c_real, oca), lambda i: (i // bpg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, oca, 1), lambda i: (i // bpg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sr, 1), lambda i: (i // bpg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sr, 1), lambda i: (i // bpg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((ca, y.shape[1]), y.dtype),
+            jax.ShapeDtypeStruct((groups, c_real, oca), jnp.float32),
+            jax.ShapeDtypeStruct((groups, oca, 1), jnp.float32),
+            jax.ShapeDtypeStruct((groups, sr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((groups, sr, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        name=f"conv1x1_prelu_bwd_c{c_real}",
+    )(g, y, scale, shift, wo.astype(y.dtype))
+    return (dy, dsc.astype(scale.dtype), dsh.astype(shift.dtype),
+            dwo.astype(wo.dtype), dbo)
+
+
+conv1x1_prelu_ct.defvjp(_conv1x1_prelu_fwd, _conv1x1_prelu_bwd)

@@ -211,6 +211,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
     y, s, q = pl.pallas_call(
         kern,
+        name=f"tr_fwd_c{c1}x{c2}o{o}_th{th}w{w}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
@@ -498,6 +499,7 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
 
     dx, dsc, dsh = pl.pallas_call(
         kern,
+        name=f"tr_dx_c{c1a}x{c2 and align8(c2)}o{oa}_th{th}w{w}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
@@ -545,6 +547,7 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
 
     dx1, dx2, dsc, dsh = pl.pallas_call(
         kern,
+        name=f"tr_dxfold_c{c1a}x{c2a}o{oa}_th{th}w{w}",
         grid=(n2t, grp),
         in_specs=[g_spec, p_spec(wtp.shape[1:]), p_spec(scale.shape[1:]),
                   p_spec(shift.shape[1:])],
@@ -705,6 +708,7 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
     dwp = pl.pallas_call(
         kern,
+        name=f"tr_dw_c{c1}x{c2}o{o}_th{th}w{w}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, 3 * cp, 3 * oa),

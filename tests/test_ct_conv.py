@@ -329,3 +329,52 @@ class TestFastPathForward:
             f32, shape, train=False, mc_dropout=False)
         assert not ct_fast_path_supported(
             force, (2, 2, 16, 200, 3), train=False, mc_dropout=False)
+
+
+class TestUpsample2xCT:
+    def test_matches_matmul_upsample_fwd_and_grad(self):
+        """upsample2x_ct (one Pallas pass each way) vs the matmul-einsum
+        form (_upsample_ct_x2): same bilinear align-corners map
+        (reference components.py:78).  bf16 intermediate rounding orders
+        differ (W-then-H vs H-then-W), so compare with a 2-ulp budget."""
+        from mimo_unet_tpu.models.fast_path import _upsample_ct_x2
+        from mimo_unet_tpu.ops.pallas.ct_resize import (
+            upsample2x_ct, upsample2x_ct_supported)
+
+        c, n, h2, w2 = 16, 3, 12, 128
+        assert upsample2x_ct_supported(c, n, h2, w2)
+        x = jax.random.normal(jax.random.key(0), (c, n * h2 * w2)).astype(
+            jnp.bfloat16)
+
+        ref = _upsample_ct_x2(x, n, h2, w2)
+        got = upsample2x_ct(x, n, h2, w2, True)
+        a = np.asarray(ref, np.float32)
+        b = np.asarray(got, np.float32)
+        np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+
+        wts = jax.random.normal(jax.random.key(1), ref.shape)
+
+        def loss(fn):
+            return lambda v: jnp.sum(fn(v).astype(jnp.float32) * wts)
+
+        g_ref = jax.grad(loss(lambda v: _upsample_ct_x2(v, n, h2, w2)))(x)
+        g_new = jax.grad(loss(lambda v: upsample2x_ct(v, n, h2, w2, True)))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_ref, np.float32), np.asarray(g_new, np.float32),
+            rtol=5e-2, atol=5e-2)
+
+    def test_matches_f32_resize_exactly(self):
+        """Against the f32 NHWC align-corners resize (ops/resize.py) the
+        kernel must agree to bf16 rounding of the exact lerp."""
+        from mimo_unet_tpu.ops.resize import upsample_bilinear_x2_align_corners
+        from mimo_unet_tpu.ops.pallas.ct_resize import upsample2x_ct
+
+        c, n, h2, w2 = 8, 2, 16, 128
+        x4 = jax.random.normal(jax.random.key(0), (n, h2, w2, c))
+        ref = upsample_bilinear_x2_align_corners(x4.astype(jnp.float32))
+        xct = jnp.moveaxis(x4.astype(jnp.bfloat16), -1, 0).reshape(c, -1)
+        got = upsample2x_ct(xct, n, h2, w2, True)
+        got4 = jnp.moveaxis(
+            got.reshape(c, n, 2 * h2, 2 * w2), 0, -1).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got4),
+                                   rtol=2e-2, atol=2e-2)

@@ -366,3 +366,49 @@ class TestDxFold:
             np.testing.assert_array_equal(
                 np.asarray(dx2_ref, np.float32),
                 np.asarray(dx2_f[:c2], np.float32))
+
+
+class TestConv1x1Prelu:
+    def test_matches_composed_pair(self):
+        """conv1x1_prelu_ct == conv1x1_ct(affine_relu_ct(...)) forward
+        bitwise; gradients match to f32 (the fused backward keeps dz in
+        f32 instead of the pair's bf16 round-trip)."""
+        from mimo_unet_tpu.ops.pallas.ct_elem import (affine_relu_ct,
+                                                      conv1x1_ct,
+                                                      conv1x1_prelu_ct)
+
+        c, oc, grp, total = 21, 2, 2, 2 * 8 * 256
+        ca, oca = align8(c), align8(oc)
+        ks = jax.random.split(jax.random.key(0), 5)
+        y = jax.random.normal(ks[0], (ca, total)).astype(jnp.bfloat16)
+        sc = jax.random.normal(ks[1], (grp, c, 1)).astype(jnp.float32)
+        sh = jax.random.normal(ks[2], (grp, c, 1)).astype(jnp.float32)
+        wo = jax.random.normal(ks[3], (grp, c, oca)).astype(jnp.float32)
+        bo = jax.random.normal(ks[4], (grp, oca, 1)).astype(jnp.float32)
+
+        def pair(y, sc, sh, wo, bo):
+            z = affine_relu_ct(y, sc, sh, c, grp, True)
+            return conv1x1_ct(z, wo, bo, c, grp, True)
+
+        def fused(y, sc, sh, wo, bo):
+            return conv1x1_prelu_ct(y, sc, sh, wo, bo, c, grp, True)
+
+        out_p = pair(y, sc, sh, wo, bo)
+        out_f = fused(y, sc, sh, wo, bo)
+        np.testing.assert_array_equal(np.asarray(out_p, np.float32),
+                                      np.asarray(out_f, np.float32))
+
+        wts = jax.random.normal(jax.random.key(9), out_p.shape)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) * wts)
+
+        gp = jax.grad(loss(pair), argnums=(0, 1, 2, 3, 4))(y, sc, sh, wo, bo)
+        gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4))(y, sc, sh, wo, bo)
+        # the fused backward keeps dz in f32 where the pair round-trips it
+        # through bf16, so per-element stats gradients can differ by one
+        # bf16 ulp of the summands
+        for a, b in zip(gp, gf):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=0.05, atol=0.2)
