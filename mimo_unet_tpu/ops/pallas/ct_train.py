@@ -168,12 +168,8 @@ def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
 
 
 def _x_spec(c, th, w, period_tiles):
-    # slab rows actually read: 0..th+5 (col build max offset (4-dy)+r1 with
-    # dy=0 -> row th+5; the clamped i==0 variant stays below th+2), so the
-    # block carries th+6 rows; the last tile's window ends 2 rows past the
-    # array (offset (n-1)*th-4 + th+6), hence the high Element padding
     return pl.BlockSpec(
-        (pl.Element(c), pl.Element((th + 6) * w, padding=(0, 2 * w))),
+        (pl.Element(c), pl.Element((th + 8) * w, padding=(0, 8 * w))),
         lambda i: (0, pl.multiple_of(
             jnp.maximum((i % period_tiles) * th - 4, 0) * w, 128)),
         memory_space=pltpu.VMEM,
@@ -245,7 +241,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
 
 def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                     interpret, chunks=None, fold_grp=0, stats=False):
+                     interpret, chunks=None, fold_grp=0):
     """dz = transpose of (reflect-pad + 3x3 conv) applied to g, then the
     prologue's relu/affine backward.  g col part dy position p (of th+2)
     holds g flat row i*th + p - dy (zero outside the image, with the
@@ -256,15 +252,7 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
     rows accumulate across the grp repetitions in an f32 scratch (bf16
     round-trip per step — bitwise the external slice-add fold) and are
     written once per tile to a separate [c2a, n2_total] output.  Requires
-    prologue=False (the only train case with c2 — decoder conv1).
-
-    ``stats`` switches the cotangent input from a precomputed g_eff
-    tensor to (dy, y_raw) slabs plus per-group ds/dq columns: the kernel
-    stages g_eff = bf16(dy + ds + 2*y*dq) into a VMEM scratch (pad rows
-    zero — bitwise the standalone ct_elem.g_eff_ct kernel), so the fold
-    never round-trips HBM.  Cross-image halo rows get the wrong group's
-    ds/dq, but every such read is already masked by the first/last-image
-    zero writes below."""
+    prologue=False (the only train case with c2 — decoder conv1)."""
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
@@ -276,46 +264,20 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
 
     def kernel(*refs):
         refs = list(refs)
-        dy_ref = refs.pop(0)
-        y_ref = refs.pop(0) if stats else None
+        g_ref = refs.pop(0)
         x1_ref = refs.pop(0) if prologue else None
         x2_ref = refs.pop(0) if (prologue and c2) else None
-        wt_ref, sc_ref, sh_ref = refs[:3]
-        refs = refs[3:]
-        ds_ref = refs.pop(0) if stats else None
-        dq_ref = refs.pop(0) if stats else None
         if fold:
-            (dx_ref, dx2_ref, dsc_ref, dsh_ref, col, ys, acc) = refs
+            (wt_ref, sc_ref, sh_ref, dx_ref, dx2_ref, dsc_ref, dsh_ref,
+             col, ys, acc) = refs
             t_id = pl.program_id(0)
             r_id = pl.program_id(1)
             i = r_id * gt + t_id
         else:
-            dx_ref, dsc_ref, dsh_ref, col, ys = refs
+            wt_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref, col, ys = refs
             i = pl.program_id(0)
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
-
-        if stats:
-            # stage g_eff IN PLACE into the dy slab (each grid step's
-            # slab index differs, so the window is re-DMA'd fresh —
-            # overwriting the local VMEM copy is safe and saves a
-            # separate staging scratch).  A fori_loop over 2-slab-row
-            # chunks keeps ONE set of f32 vector temporaries — a Python
-            # unroll stacks a fresh set per iteration and blows the
-            # Mosaic scoped-VMEM stack (measured +0.4 MiB at th=64).
-            def _stage(j, carry):
-                sl = pl.ds(pl.multiple_of(j * (2 * w), 128), 2 * w)
-                dy_ref[0:o, sl] = (
-                    dy_ref[0:o, sl].astype(jnp.float32) + ds_ref[0:o]
-                    + 2.0 * y_ref[0:o, sl].astype(jnp.float32)
-                    * dq_ref[0:o]).astype(dy_ref.dtype)
-                return carry
-
-            jax.lax.fori_loop(0, (th + 6) // 2, _stage, 0)
-            if oa > o:
-                dy_ref[o:oa, :] = jnp.zeros(
-                    (oa - o, dy_ref.shape[1]), dy_ref.dtype)
-        g_ref = dy_ref
 
         # ---- col: g parts (generic slab row = 4 + p - dy)
         @pl.when(i > 0)
@@ -469,8 +431,7 @@ def _dx_chunks(cp: int, split: bool):
 
 
 def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
-             interpret, out_dtype, split=False, fold_n2_total=None,
-             stats=None):
+             interpret, out_dtype, split=False, fold_n2_total=None):
     """g [oa_, N*H*W] -> d(concat input) [cp, N*H*W] (+dscale/dshift).
 
     Prologue inputs come as separate aligned-row blocks: x1 [c1a, total]
@@ -482,12 +443,7 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     n2_total], dsc, dsh) with the x2 cotangent summed over its tile
     repetitions inside the kernel — the tiled [c2a, total] cotangent
     never lands in HBM (1.6 GB write + 1.6 GB read per step at the
-    flagship decoder, plus the external slice-add pass).
-
-    ``stats`` = (y_raw [oa, total], ds [G, oa, 1] f32, dq [G, oa, 1] f32)
-    switches ``g`` to the raw dy cotangent: the kernel stages
-    g_eff = dy + ds + 2*y*dq in VMEM (see _dx_kernel_maker) instead of
-    reading a precomputed g_eff tensor from HBM."""
+    flagship decoder, plus the external slice-add pass)."""
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -513,21 +469,17 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     kern = _dx_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=1, gt=gt,
         prologue=prologue, out_dtype=out_dtype, interpret=interpret,
-        chunks=chunks, fold_grp=grp if fold else 0,
-        stats=stats is not None)
+        chunks=chunks, fold_grp=grp if fold else 0)
 
     if fold:
         return _conv_dx_fold_call(
             kern, g, wtp, scale, shift, th=th, w=w, c1a=c1a,
             c2a=align8(c2), cp=cp, oa=oa, grp=grp, gt=gt, total=total,
             n2_total=fold_n2_total, out_dtype=out_dtype,
-            interpret=interpret, chunks=chunks, stats=stats)
+            interpret=interpret, chunks=chunks)
 
     in_specs = [_x_spec(oa, th, w, n_tiles)]
     operands = [g]
-    if stats is not None:
-        in_specs.append(_x_spec(oa, th, w, n_tiles))
-        operands.append(stats[0])
     if prologue:
         in_specs.append(pl.BlockSpec((c1a, th * w), lambda i: (0, i),
                                      memory_space=pltpu.VMEM))
@@ -544,16 +496,6 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
         _gspec(shift.shape[1:], gt),
     ]
     operands += [wtp.astype(g.dtype), scale, shift]
-    if stats is not None:
-        in_specs += [_gspec(stats[1].shape[1:], gt),
-                     _gspec(stats[2].shape[1:], gt)]
-        operands += [stats[1], stats[2]]
-
-    scratch_shapes = [
-        pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
-        pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
-                   jnp.float32),
-    ]
 
     dx, dsc, dsh = pl.pallas_call(
         kern,
@@ -573,7 +515,11 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
         ),
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+                       jnp.float32),
+        ],
         interpret=interpret,
     )(*operands)
     return dx, dsc[..., 0], dsh[..., 0]
@@ -581,7 +527,7 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
 
 def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
                        oa, grp, gt, total, n2_total, out_dtype, interpret,
-                       chunks, stats=None):
+                       chunks):
     """pallas_call plumbing for the period-fold dx grid: (n2_tiles, grp)
     with the group axis minor, so the dx2 output block and its f32
     accumulator stay resident across the grp repetitions of each tile."""
@@ -592,36 +538,19 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
             jnp.maximum((r * n2t + t) * th - 4, 0) * w, 128))
 
     g_spec = pl.BlockSpec(
-        (pl.Element(oa), pl.Element((th + 6) * w, padding=(0, 2 * w))),
+        (pl.Element(oa), pl.Element((th + 8) * w, padding=(0, 8 * w))),
         g_map, memory_space=pltpu.VMEM)
 
     def p_spec(shape):
         return pl.BlockSpec((None,) + shape, lambda t, r: (r, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [g_spec]
-    operands = [g]
-    if stats is not None:
-        in_specs.append(g_spec)
-        operands.append(stats[0])
-    in_specs += [p_spec(wtp.shape[1:]), p_spec(scale.shape[1:]),
-                 p_spec(shift.shape[1:])]
-    operands += [wtp.astype(g.dtype), scale, shift]
-    if stats is not None:
-        in_specs += [p_spec(stats[1].shape[1:]), p_spec(stats[2].shape[1:])]
-        operands += [stats[1], stats[2]]
-    scratch_shapes = [
-        pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
-        pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
-                   jnp.float32),
-        pltpu.VMEM((c2a, th * w), jnp.float32),
-    ]
-
     dx1, dx2, dsc, dsh = pl.pallas_call(
         kern,
         name=f"tr_dxfold_c{c1a}x{c2a}o{oa}_th{th}w{w}",
         grid=(n2t, grp),
-        in_specs=in_specs,
+        in_specs=[g_spec, p_spec(wtp.shape[1:]), p_spec(scale.shape[1:]),
+                  p_spec(shift.shape[1:])],
         out_specs=(
             pl.BlockSpec((c1a, th * w), lambda t, r: (0, r * n2t + t),
                          memory_space=pltpu.VMEM),
@@ -638,9 +567,14 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
         ),
-        scratch_shapes=scratch_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+                       jnp.float32),
+            pltpu.VMEM((c2a, th * w), jnp.float32),
+        ],
         interpret=interpret,
-    )(*operands)
+    )(g, wtp.astype(g.dtype), scale, shift)
     return dx1, dx2, dsc[..., 0], dsh[..., 0]
 
 
@@ -648,8 +582,7 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
 # backward: dw
 
 
-def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
-                     stats=False):
+def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
@@ -697,12 +630,7 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
         refs = list(refs)
         x1_ref = refs.pop(0)
         x2_ref = refs.pop(0) if c2 else None
-        if stats:
-            g_ref, y_ref, sc_ref, sh_ref, ds_ref, dq_ref, dw_ref, col, \
-                gv = refs
-        else:
-            y_ref = ds_ref = dq_ref = None
-            g_ref, sc_ref, sh_ref, dw_ref, col, gv = refs
+        g_ref, sc_ref, sh_ref, dw_ref, col, gv = refs
         i = pl.program_id(0)
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
@@ -722,18 +650,7 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
                         (c2a - c2, th * w), col.dtype)
 
         # the three dx-variants of g (transpose of the forward W-combine)
-        if stats:
-            # in-VMEM g_eff = bf16(dy + ds + 2*y*dq), pad rows zero —
-            # bitwise the standalone ct_elem.g_eff_ct kernel's output
-            ge = (g_ref[...].astype(jnp.float32) + ds_ref[...]
-                  + 2.0 * y_ref[...].astype(jnp.float32) * dq_ref[...])
-            ge = ge.astype(gv.dtype).astype(jnp.float32)
-            if oa > o:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (oa, 1), 0)
-                ge = jnp.where(rows < o, ge, 0.0)
-            gval = ge
-        else:
-            gval = g_ref[...].astype(jnp.float32)
+        gval = g_ref[...].astype(jnp.float32)
         first, last = _edge_masks(w, th * w)
         is1 = _col_eq(w, th * w, 1)
         isw2 = _col_eq(w, th * w, w - 2)
@@ -760,12 +677,9 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
 
 
 def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
-             prologue, interpret, stats=None):
+             prologue, interpret):
     """Returns dwp [G, 3cp, 3oa] f32 (packed layout, same as pack_w3x3...
-    but with dx blocks along columns in units of align8(o)).
-
-    ``stats`` = (y_raw, ds, dq) switches ``g`` to the raw dy cotangent
-    with the g_eff fold computed in VMEM (see _dw_kernel_maker)."""
+    but with dx blocks along columns in units of align8(o))."""
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -777,29 +691,20 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     bt2 = (n2_images * tpi) if c2 else 1
     kern = _dw_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
-        prologue=prologue, interpret=interpret, stats=stats is not None)
+        prologue=prologue, interpret=interpret)
 
     in_specs = [_x_spec(c1, th, w, n_tiles)]
     operands = [x1]
     if c2:
         in_specs.append(_x_spec(c2, th, w, bt2))
         operands.append(x2)
-    in_specs.append(pl.BlockSpec((oa, th * w), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM))
-    operands.append(g)
-    if stats is not None:
-        in_specs.append(pl.BlockSpec((oa, th * w), lambda i: (0, i),
-                                     memory_space=pltpu.VMEM))
-        operands.append(stats[0])
     in_specs += [
+        pl.BlockSpec((oa, th * w), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
         _gspec(scale.shape[1:], gt),
         _gspec(shift.shape[1:], gt),
     ]
-    operands += [scale, shift]
-    if stats is not None:
-        in_specs += [_gspec(stats[1].shape[1:], gt),
-                     _gspec(stats[2].shape[1:], gt)]
-        operands += [stats[1], stats[2]]
+    operands += [g, scale, shift]
 
     dwp = pl.pallas_call(
         kern,
@@ -843,8 +748,7 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
         base = (3 * oa * r2w * 2        # g column scratch (bf16)
                 + 3 * cps * r2w * 4     # dx plane scratch (f32)
                 + 2 * cp * th * w * 4   # dx out block, double-buffered
-                + 2 * oa * (th + 6) * w * 2  # dy in slab, double-buffered
-                + 2 * oa * (th + 6) * w * 2  # y in slab (stats fold)
+                + 2 * oa * (th + 6) * w * 2  # g in slab, double-buffered
                 + 2 * cp * th * w * 2)  # x1 prologue slab, double-buffered
         if kind.startswith("dx_fold"):
             # fold has no prologue slab but carries the f32 x2 accumulator
@@ -854,10 +758,8 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     if kind == "fwd":
         return (3 * cp * th * w * 2 + 3 * oa * th * w * 4
                 + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
-    # dw: + the stats-fold y tile and one extra f32 g_eff plane
     return (3 * cp * th * w * 2 + 3 * oa * th * w * 2
-            + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2
-            + 2 * oa * th * w * 2 + oa * th * w * 4 + temps)
+            + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
 
 
 def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
@@ -944,19 +846,13 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     total = x1.shape[1]
     n_per_g = total // grp  # lanes per group
 
-    # the statistics cotangents fold into the conv-output cotangent
-    # (sum = SUM y, sumsq = SUM y^2  =>  g_eff = dy + dsum + 2*y*dsumsq)
-    # INSIDE the dx/dw kernels: they take (dy, y_raw, ds, dq) and stage
-    # g_eff in VMEM, so the folded tensor never round-trips HBM (the
-    # standalone ct_elem.g_eff_ct pass cost ~19 ms/step at the B=128
-    # flagship).  ds/dq are zero-padded to align8 rows so pad-channel
-    # arithmetic stays exact.
-    dsa = jnp.zeros((grp, oa, 1), jnp.float32).at[:, :o, 0].set(
-        dsum.astype(jnp.float32))
-    dqa = jnp.zeros((grp, oa, 1), jnp.float32).at[:, :o, 0].set(
-        dssq.astype(jnp.float32))
-    stats_args = (y_raw, dsa, dqa)
-    g_eff = dy
+    # fold the statistics cotangents into the conv-output cotangent:
+    # sum = SUM y, sumsq = SUM y^2  =>  g_eff = dy + dsum + 2*y*dsumsq
+    # (group-blocked; Pallas — the XLA reshape/broadcast form relayouts
+    # the whole tensor, experiments/exp_glue_time.py)
+    from mimo_unet_tpu.ops.pallas.ct_elem import g_eff_ct
+
+    g_eff = g_eff_ct(dy, y_raw, dsum, dssq, o, grp, interpret)
 
     if scale is None:
         scale_k = jnp.ones((grp, cp, 1), jnp.float32)
@@ -1010,18 +906,17 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
         dx1_rows, dx2_rows_f, dsc, dsh = _conv_dx(
             g_eff, None, None, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
             c1=c1, c2=c2, o=o, prologue=False, interpret=interpret,
-            out_dtype=x1.dtype, split=dx_split, fold_n2_total=x2.shape[1],
-            stats=stats_args)
+            out_dtype=x1.dtype, split=dx_split, fold_n2_total=x2.shape[1])
     else:
         dxcat, dsc, dsh = _conv_dx(
             g_eff, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
             c1=c1, c2=c2, o=o, prologue=prologue, interpret=interpret,
-            out_dtype=x1.dtype, split=dx_split, stats=stats_args)
+            out_dtype=x1.dtype, split=dx_split)
 
     dwp = _conv_dw(
         g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=th_dw,
         c1=c1, c2=c2, o=o, n2_images=n2_images, prologue=prologue,
-        interpret=interpret, stats=stats_args)
+        interpret=interpret)
     # dw in packed layout: columns are in units of oa; wp columns are in
     # units of align8(o) == oa with 3 dx blocks — same layout; cast to wp
     dwp = dwp.astype(wp.dtype)
