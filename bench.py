@@ -6,19 +6,48 @@ reps with device sync) scaled to TPU batch sizes.  The driver target
 (BASELINE.json north_star) is >=5000 256x256 patches/sec/chip (train+infer).
 
 Prints one JSON line per metric ({"metric", "value", "unit",
-"vs_baseline"}): a train-throughput line first, then the headline inference
-line (which also embeds train_patches_per_sec as an extra key so
-single-line consumers still see both numbers).
+"vs_baseline"}).  Each section prints its line the moment it completes and
+is isolated in try/except — a failure in a later section (e.g. a train
+compile OOM, the round-3 failure mode) cannot erase the earlier numbers.
+The headline inference line embeds train_patches_per_sec as an extra key
+so single-line consumers still see both numbers.
 """
 
 import json
 import os
+import sys
 import time
+import traceback
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+TARGET = 5000.0
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def _section(name):
+    """Decorator: run a bench section, swallow+report failures."""
+
+    def deco(fn):
+        def run(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                print(f"[bench] section {name!r} FAILED:", file=sys.stderr)
+                traceback.print_exc()
+                return None
+
+        return run
+
+    return deco
+
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -73,53 +102,77 @@ def main():
         return batch_size / per_exec
 
     # ----------------------------------------------------------- inference
-    best = 0.0
-    best_bs = 0
-    for batch_size in (32, 64, 128):
-        x = jax.random.uniform(
-            jax.random.key(0), (batch_size, 256, 256, 3), jnp.float32
+    @_section("inference")
+    def bench_inference():
+        best, best_bs = 0.0, 0
+        for batch_size in (32, 64, 128):
+            x = jax.random.uniform(
+                jax.random.key(0), (batch_size, 256, 256, 3), jnp.float32
+            )
+            throughput = timed_throughput(
+                infer, (state.params, state.model_state, x), batch_size
+            )
+            if throughput > best:
+                best, best_bs = throughput, batch_size
+        return best, best_bs
+
+    infer_res = bench_inference()
+    if infer_res:
+        best, best_bs = infer_res
+        _emit(
+            {
+                "metric": "nyuv2_mimo_m2_256px_inference_patches_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": f"patches/sec/chip (best batch={best_bs}, bf16)",
+                "vs_baseline": round(best / TARGET, 4),
+            }
         )
-        throughput = timed_throughput(
-            infer, (state.params, state.model_state, x), batch_size
-        )
-        if throughput > best:
-            best, best_bs = throughput, batch_size
 
     # --------------------------------------------------------------- train
     # one full optimization step (fwd+bwd+Adam+loss buffer), the reference
     # training configuration: batch 64, laplace NLL (Readme.md:61-79)
     tx = task.make_optimizer(steps_per_epoch=1000)
-    tstate = task.init_state(steps_per_epoch=1000)
-    import functools
-
     train_step = jax.jit(
         functools.partial(task.train_step, tx, with_outputs=False),
         donate_argnums=(0,),
     )
 
-    train_best = 0.0
-    train_best_bs = 0
-    for batch_size in (64, 128):
-        batch = {
-            "image": jax.random.uniform(
-                jax.random.key(1), (batch_size, 256, 256, 3), jnp.float32
-            ),
-            "label": jax.random.uniform(
-                jax.random.key(2), (batch_size, 256, 256, 1), jnp.float32
-            ),
-        }
-        rngk = jax.random.key(0)
-        carry = {"s": jax.device_put(tstate)}
+    @_section("train")
+    def bench_train():
+        train_best, train_best_bs = 0.0, 0
+        for batch_size in (64, 128):
+            batch = {
+                "image": jax.random.uniform(
+                    jax.random.key(1), (batch_size, 256, 256, 3), jnp.float32
+                ),
+                "label": jax.random.uniform(
+                    jax.random.key(2), (batch_size, 256, 256, 1), jnp.float32
+                ),
+            }
+            rngk = jax.random.key(0)
+            carry = {"s": jax.device_put(task.init_state(steps_per_epoch=1000))}
 
-        def step_scalar(_unused):
-            new_state, logs, _ = train_step(carry["s"], batch, rngk)
-            carry["s"] = new_state
-            return logs["train_loss"]
+            def step_scalar(_unused):
+                new_state, logs, _ = train_step(carry["s"], batch, rngk)
+                carry["s"] = new_state
+                return logs["train_loss"]
 
-        tput = timed_throughput(step_scalar, (0,), batch_size)
-        if tput > train_best:
-            train_best, train_best_bs = tput, batch_size
-        tstate = task.init_state(steps_per_epoch=1000)  # fresh undonated state
+            tput = timed_throughput(step_scalar, (0,), batch_size)
+            if tput > train_best:
+                train_best, train_best_bs = tput, batch_size
+        return train_best, train_best_bs
+
+    train_res = bench_train()
+    if train_res:
+        train_best, train_best_bs = train_res
+        _emit(
+            {
+                "metric": "nyuv2_mimo_m2_256px_train_patches_per_sec_per_chip",
+                "value": round(train_best, 1),
+                "unit": f"patches/sec/chip (fwd+bwd+opt, best batch={train_best_bs}, bf16)",
+                "vs_baseline": round(train_best / TARGET, 4),
+            }
+        )
 
     # ------------------------------------------------------ real-data train
     # End-to-end truth (VERDICT r2 item 5): NYUv2-shaped h5 on disk
@@ -128,92 +181,99 @@ def main():
     # whole epochs including every host-side cost on this single-core host.
     # 640-wide frames run the CT kernels for in_conv/decoder with the
     # down1 NHWC fallback (models/fast_path.py, w % 128 eligibility).
-    import numpy as np
+    @_section("real-data train")
+    def bench_real_data():
+        import numpy as np
 
-    fix_dir = "/tmp/bench_nyu"
-    fix_path = os.path.join(fix_dir, "depth_train.h5")
-    n_frames, fh, fw = 192, 480, 640
-    if not os.path.exists(fix_path):
-        import h5py
+        fix_dir = "/tmp/bench_nyu"
+        fix_path = os.path.join(fix_dir, "depth_train.h5")
+        n_frames, fh, fw = 192, 480, 640
+        if not os.path.exists(fix_path):
+            import h5py
 
-        os.makedirs(fix_dir, exist_ok=True)
-        rng_np = np.random.default_rng(0)
-        with h5py.File(fix_path, "w") as f:
-            img = rng_np.integers(0, 255, (n_frames, fh, fw, 3), dtype=np.uint8)
-            f.create_dataset("image", data=img)
-            f.create_dataset(
-                "depth", data=img.mean(axis=-1, keepdims=True).astype(np.uint8)
-            )
+            os.makedirs(fix_dir, exist_ok=True)
+            rng_np = np.random.default_rng(0)
+            with h5py.File(fix_path, "w") as f:
+                img = rng_np.integers(
+                    0, 255, (n_frames, fh, fw, 3), dtype=np.uint8
+                )
+                f.create_dataset("image", data=img)
+                f.create_dataset(
+                    "depth",
+                    data=img.mean(axis=-1, keepdims=True).astype(np.uint8),
+                )
 
-    from mimo_unet_tpu.data.core import prefetch_to_device
-    from mimo_unet_tpu.data.nyuv2 import load_nyuv2_depth
-
-    real_ds = load_nyuv2_depth(fix_path, host_dtype="uint8")
-    # B=16: the 640x480 train step at B=32 needs 16.1G HBM (15.75G chip)
-    # with the round-3 deep-tile kernels; throughput is host-bound on this
-    # single-core box, so halving the batch costs ~nothing end-to-end.
-    real_bs = 16
-    rstate = task.init_state(steps_per_epoch=1000)
-    rngk = jax.random.key(0)
-
-    def run_epoch(epoch):
-        from mimo_unet_tpu.data.core import iterate_batches
-
-        t0 = time.perf_counter()
-        seen = 0
-        logs = None
-        batches = prefetch_to_device(
-            iterate_batches(real_ds, real_bs, shuffle=True, drop_last=True,
-                            seed=0, epoch=epoch)
+        from mimo_unet_tpu.data.core import (
+            DeviceDataset,
+            iterate_batches,
+            iterate_index_batches,
+            prefetch_to_device,
         )
-        nonlocal_state = run_epoch.state
-        for batch in batches:
-            nonlocal_state, logs, _ = train_step(nonlocal_state, batch, rngk)
-            seen += real_bs
-        run_epoch.state = nonlocal_state
-        float(logs["train_loss"])  # true end-to-end sync
-        return seen / (time.perf_counter() - t0)
+        from mimo_unet_tpu.data.nyuv2 import load_nyuv2_depth
 
-    run_epoch.state = jax.device_put(rstate)
-    run_epoch(0)  # compile + warm
-    host_fed_tput = max(run_epoch(e) for e in (1, 2, 3))
+        real_ds = load_nyuv2_depth(fix_path, host_dtype="uint8")
+        # B=16: the 640x480 train step at B=32 needs 16.1G HBM (15.75G chip)
+        # with the round-3 deep-tile kernels; throughput is host-bound on
+        # this single-core box, so halving the batch costs ~nothing.
+        real_bs = 16
+        rngk = jax.random.key(0)
 
-    # Device-resident dataset (--device_cache): the whole uint8 train split
-    # is staged into HBM once; each step's batch gather happens on-chip
-    # inside the jitted step, so per-step host work is drawing indices.
-    from mimo_unet_tpu.data.core import DeviceDataset, iterate_index_batches
+        def run_epoch(epoch):
+            t0 = time.perf_counter()
+            seen = 0
+            logs = None
+            batches = prefetch_to_device(
+                iterate_batches(
+                    real_ds, real_bs, shuffle=True, drop_last=True,
+                    seed=0, epoch=epoch,
+                )
+            )
+            st = run_epoch.state
+            for batch in batches:
+                st, logs, _ = train_step(st, batch, rngk)
+                seen += real_bs
+            run_epoch.state = st
+            float(logs["train_loss"])  # true end-to-end sync
+            return seen / (time.perf_counter() - t0)
 
-    dev_ds = DeviceDataset(real_ds)
+        run_epoch.state = jax.device_put(task.init_state(steps_per_epoch=1000))
+        run_epoch(0)  # compile + warm
+        host_fed_tput = max(run_epoch(e) for e in (1, 2, 3))
 
-    def _cached_step(state, data, idx, rngk):
-        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-        return task.train_step(tx, state, batch, rngk, with_outputs=False)
+        # Device-resident dataset (--device_cache): the whole uint8 train
+        # split is staged into HBM once; each step's batch gather happens
+        # on-chip inside the jitted step, so per-step host work is drawing
+        # indices.
+        dev_ds = DeviceDataset(real_ds)
 
-    cached_step = jax.jit(_cached_step, donate_argnums=(0,))
+        def _cached_step(st, data, idx, rngk):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            return task.train_step(tx, st, batch, rngk, with_outputs=False)
 
-    def run_epoch_cached(epoch):
-        t0 = time.perf_counter()
-        seen = 0
-        logs = None
-        st = run_epoch_cached.state
-        for idx in iterate_index_batches(
-            len(dev_ds), real_bs, shuffle=True, drop_last=True,
-            seed=0, epoch=epoch,
-        ):
-            st, logs, _ = cached_step(st, dev_ds.data, idx, rngk)
-            seen += real_bs
-        run_epoch_cached.state = st
-        float(logs["train_loss"])  # true end-to-end sync
-        return seen / (time.perf_counter() - t0)
+        cached_step = jax.jit(_cached_step, donate_argnums=(0,))
 
-    run_epoch_cached.state = jax.device_put(task.init_state(steps_per_epoch=1000))
-    run_epoch_cached(0)  # compile + warm
-    real_tput = max(run_epoch_cached(e) for e in (1, 2, 3))
-    patch_equiv = fh * fw / (256.0 * 256.0)
+        def run_epoch_cached(epoch):
+            t0 = time.perf_counter()
+            seen = 0
+            logs = None
+            st = run_epoch_cached.state
+            for idx in iterate_index_batches(
+                len(dev_ds), real_bs, shuffle=True, drop_last=True,
+                seed=0, epoch=epoch,
+            ):
+                st, logs, _ = cached_step(st, dev_ds.data, idx, rngk)
+                seen += real_bs
+            run_epoch_cached.state = st
+            float(logs["train_loss"])  # true end-to-end sync
+            return seen / (time.perf_counter() - t0)
 
-    target = 5000.0
-    print(
-        json.dumps(
+        run_epoch_cached.state = jax.device_put(
+            task.init_state(steps_per_epoch=1000)
+        )
+        run_epoch_cached(0)  # compile + warm
+        real_tput = max(run_epoch_cached(e) for e in (1, 2, 3))
+        patch_equiv = fh * fw / (256.0 * 256.0)
+        _emit(
             {
                 "metric": "nyuv2_mimo_m2_realdata_640x480_train_img_per_sec",
                 "value": round(real_tput, 1),
@@ -222,34 +282,29 @@ def main():
                     f"on-chip gather (--device_cache)->train step, batch "
                     f"{real_bs}, bf16"
                 ),
-                "vs_baseline": round(real_tput * patch_equiv / target, 4),
+                "vs_baseline": round(real_tput * patch_equiv / TARGET, 4),
                 "patch_equiv_per_sec": round(real_tput * patch_equiv, 1),
                 "host_fed_img_per_sec": round(host_fed_tput, 1),
             }
         )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "nyuv2_mimo_m2_256px_train_patches_per_sec_per_chip",
-                "value": round(train_best, 1),
-                "unit": f"patches/sec/chip (fwd+bwd+opt, best batch={train_best_bs}, bf16)",
-                "vs_baseline": round(train_best / target, 4),
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "nyuv2_mimo_m2_256px_inference_patches_per_sec_per_chip",
-                "value": round(best, 1),
-                "unit": f"patches/sec/chip (best batch={best_bs}, bf16)",
-                "vs_baseline": round(best / target, 4),
-                "train_patches_per_sec": round(train_best, 1),
-                "train_batch": train_best_bs,
-            }
-        )
-    )
+
+    bench_real_data()
+
+    # re-emit the headline inference line LAST with the train number
+    # embedded, so single-line consumers (the driver takes the last parsed
+    # line) always see the headline even if a later section failed
+    if infer_res:
+        best, best_bs = infer_res
+        payload = {
+            "metric": "nyuv2_mimo_m2_256px_inference_patches_per_sec_per_chip",
+            "value": round(best, 1),
+            "unit": f"patches/sec/chip (best batch={best_bs}, bf16)",
+            "vs_baseline": round(best / TARGET, 4),
+        }
+        if train_res:
+            payload["train_patches_per_sec"] = round(train_res[0], 1)
+            payload["train_batch"] = train_res[1]
+        _emit(payload)
 
 
 if __name__ == "__main__":
