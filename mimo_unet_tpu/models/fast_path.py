@@ -887,16 +887,37 @@ def ct_train_path_supported(
     dec_c2 = 2 * f * cfg.num_subnetworks // cfg.factor
     mid_c = (f + dec_c2) // 2
     stages = [
-        (h, w, cfg.in_channels, 0, f),            # in_conv conv1
-        (h, w, fa, 0, f),                         # in_conv conv2
-        (h, w, fa, align8(dec_c2), mid_c),        # decoder conv1
-        (h, w, align8(mid_c), 0, f),              # decoder conv2
+        (h, w, cfg.in_channels, 0, f, False),     # in_conv conv1
+        (h, w, fa, 0, f, True),                   # in_conv conv2
+        (h, w, fa, align8(dec_c2), mid_c, False),  # decoder conv1
+        (h, w, align8(mid_c), 0, f, True),        # decoder conv2
     ]
     if _ct_train_down1_aligned(h, w):
-        stages += [(h // 2, w // 2, fa, 0, f2),   # down1 conv1
-                   (h // 2, w // 2, align8(f2), 0, f2)]  # down1 conv2
-    if any(pick_th_train(*st) is None for st in stages):
-        return False
+        stages += [(h // 2, w // 2, fa, 0, f2, False),   # down1 conv1
+                   (h // 2, w // 2, align8(f2), 0, f2, True)]  # down1 conv2
+    for st in stages:
+        sh_, sw_, sc1, sc2, so, sp = st
+        if pick_th_train(sh_, sw_, sc1, sc2, so, prologue=sp) is None:
+            return False
+        # backward reachability (ADVICE r3): the bwd rule must find a
+        # compiling dx/dw tile too — pick-or-forced raises (TPU) or
+        # returns the historical min(th,16) (off-TPU); any failure here
+        # means the shape must take the XLA path
+        from mimo_unet_tpu.ops.pallas.ct_train import (
+            pick_th_kind, pick_th_kind_forced)
+
+        # the c2 stage may take the fold or plain grid depending on the
+        # runtime reps==groups condition — require both to be reachable
+        kinds = (("dx_fold", "dx", "dw") if (sc2 and not sp)
+                 else ("dx", "dw"))
+        try:
+            for k in kinds:
+                if pick_th_kind(k, sh_, sw_, sc1, sc2, so,
+                                prologue=sp) is None:
+                    pick_th_kind_forced(k, sh_, sw_, sc1, sc2, so, 64,
+                                        prologue=sp)
+        except RuntimeError:
+            return False
     if not _ct_train_down1_aligned(h, w):
         # the XLA fallback computes down1's BatchNorm batch statistics with
         # plain jnp reductions, which are per-device inside shard_map —
@@ -1041,7 +1062,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     w1p = jnp.stack([pack_w3x3([ic["conv1"]["w"][g]]) for g in range(s)])
     y1, s1, q1 = conv3x3_ct_train(
         xct, None, w1p.astype(cdt), None, None,
-        h, w, pick_th_train(h, w, cin, 0, f), cin, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, cin, 0, f, prologue=False),
+        cin, 0, f, 0, interpret)
     s1, q1 = _psum_stats(s1, q1, axis)
     sc1, sh1, new_enc["in_conv"]["bn1"] = _bn_affine_from_stats(
         s1, q1, cnt_full, ic["conv1"]["b"], ic["bn1"], enc_s["in_conv"]["bn1"])
@@ -1051,7 +1073,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     y2, s2, q2 = conv3x3_ct_train(
         y1, None, w2p.astype(cdt), _prologue_cols([(sc1, f)], fa),
         _prologue_cols([(sh1, f)], fa),
-        h, w, pick_th_train(h, w, fa, 0, f), fa, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, fa, 0, f, prologue=True),
+        fa, 0, f, 0, interpret)
     s2, q2 = _psum_stats(s2, q2, axis)
     sc2, sh2, new_enc["in_conv"]["bn2"] = _bn_affine_from_stats(
         s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
@@ -1076,7 +1099,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
                          for g in range(s)])
         y3, s3, q3 = conv3x3_ct_train(
             pooled, None, w3p.astype(cdt), None, None,
-            h2, w2, pick_th_train(h2, w2, fa, 0, f2), fa, 0, f2, 0,
+            h2, w2, pick_th_train(h2, w2, fa, 0, f2, prologue=False),
+            fa, 0, f2, 0,
             interpret)
         s3, q3 = _psum_stats(s3, q3, axis)
         sc3, sh3, new_enc["down1"]["bn1"] = _bn_affine_from_stats(
@@ -1089,7 +1113,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
         y4, s4, q4 = conv3x3_ct_train(
             y3, None, w4p.astype(cdt), _prologue_cols([(sc3, f2)], f2a),
             _prologue_cols([(sh3, f2)], f2a),
-            h2, w2, pick_th_train(h2, w2, f2a, 0, f2), f2a, 0, f2, 0,
+            h2, w2, pick_th_train(h2, w2, f2a, 0, f2, prologue=True),
+            f2a, 0, f2, 0,
             interpret)
         s4, q4 = _psum_stats(s4, q4, axis)
         sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
@@ -1166,7 +1191,8 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     w5p = jnp.stack([pack_dec(up4["conv1"]["w"][g]) for g in range(s)])
     y5, s5, q5 = conv3x3_ct_train(
         x1s, xup_ct, w5p.astype(cdt), None, None,
-        h, w, pick_th_train(h, w, fa, c_up_a, mid_c), fa, c_up_a, mid_c, b,
+        h, w, pick_th_train(h, w, fa, c_up_a, mid_c, prologue=False),
+        fa, c_up_a, mid_c, b,
         interpret)
     s5, q5 = _psum_stats(s5, q5, axis)
     sc5, sh5, new_dec["up4"]["conv"]["bn1"] = _bn_affine_from_stats(
@@ -1179,7 +1205,8 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     y6, s6, q6 = conv3x3_ct_train(
         y5, None, w6p.astype(cdt), _prologue_cols([(sc5, mid_c)], mid_a),
         _prologue_cols([(sh5, mid_c)], mid_a),
-        h, w, pick_th_train(h, w, mid_a, 0, f), mid_a, 0, f, 0, interpret)
+        h, w, pick_th_train(h, w, mid_a, 0, f, prologue=True),
+        mid_a, 0, f, 0, interpret)
     s6, q6 = _psum_stats(s6, q6, axis)
     sc6, sh6, new_dec["up4"]["conv"]["bn2"] = _bn_affine_from_stats(
         s6, q6, cnt_full, up4["conv2"]["b"], up4["bn2"],

@@ -393,13 +393,37 @@ def estimate_vmem9(th, w, c1, m, o, emit_hpool=False) -> int:
     return xdy + col + ys + mid + slabs + out + temps + hpool
 
 
+def _probe_build9(th, w, c1, m, o, emit_hpool):
+    """Batch-minimal (2 groups x 1 image) but VMEM-exact probe call for
+    the nine-tap kernel — see ops/pallas/probe.py."""
+    import functools
+
+    h, g = 2 * th, 2
+    ma, oa = align8(m), align8(o)
+    S = jax.ShapeDtypeStruct
+    f32 = jnp.float32
+    fn = functools.partial(
+        fused_double_conv9_ct, h=h, w=w, th=th, c1=c1, m=m, o=o,
+        emit_hpool=emit_hpool, interpret=False)
+    args = (S((c1, g * h * w), f32), S((g, 3, 3, c1, m), f32),
+            S((g, m), f32), S((g, m), f32),
+            S((g, 3 * ma, 3 * oa), f32), S((g, o), f32), S((g, o), f32))
+    return fn, args
+
+
 def pick_th9(h: int, w: int, c1: int, m: int, o: int,
              budget: int = 15 * 2 ** 20, emit_hpool: bool = False
              ) -> Optional[int]:
+    from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
+
+    do_probe = probing_enabled()
     for th in (64, 32, 16, 8):
         if h % th == 0 and estimate_vmem9(th, w, c1, m, o,
                                           emit_hpool) <= budget:
-            return th
+            if not do_probe or probe_fits(
+                    f"dc9:th{th}:w{w}:c{c1}m{m}o{o}:hp{int(emit_hpool)}",
+                    lambda: _probe_build9(th, w, c1, m, o, emit_hpool)):
+                return th
     return None
 
 
@@ -582,12 +606,62 @@ def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
     (experiments/exp_th_sweep.py).  The budget tracks the 16 MiB scoped
     limit with the temporary-stack term above keeping real usage under it
     (in_conv at th=64 overflows by 80 KiB and is correctly rejected)."""
+    from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
+
+    do_probe = probing_enabled()
     for th in (64, 32, 16, 8):
         if h % th == 0 and estimate_vmem(
                 th, w, c1, c2, m, o, out_c, emit_hpool,
                 x2_half_h=x2_half_h) <= budget:
-            return th
+            if not do_probe or probe_fits(
+                    f"dc:th{th}:w{w}:c{c1}x{c2}m{m}o{o}oc{out_c}"
+                    f":hp{int(emit_hpool)}:hh{int(x2_half_h)}",
+                    lambda: _probe_build_eval(
+                        th, w, c1, c2, m, o, out_c, emit_hpool,
+                        x2_half_h)):
+                return th
     return None
+
+
+def _probe_build_eval(th, w, c1, c2, m, o, out_c, emit_hpool, x2_half_h):
+    """Batch-minimal (2 groups x 1 image, 1 x2 image) but VMEM-exact
+    probe call for the fused DoubleConv kernel.  ``fuse_out`` is implied
+    by out_c != align8(o) (every call site fusing the 1x1 out-conv passes
+    its aligned width); group_minor / group_rows_out / w_img are pure
+    index-map variations with identical allocations."""
+    h, g = 2 * th, 2
+    cp1 = align8(c1) + (align8(c2) if c2 else 0)
+    ma, oa = align8(m), align8(o)
+    fuse_out = out_c != oa
+    S = jax.ShapeDtypeStruct
+    bf, f32 = jnp.bfloat16, jnp.float32
+    kwargs = dict(h=h, w=w, th=th, c1=c1, m=m, o=o,
+                  emit_hpool=emit_hpool, interpret=False)
+    if c2:
+        kwargs.update(c2=c2, n2_images=1, x2_half_h=x2_half_h)
+    x1 = S((c1, g * h * w), bf)
+    parts = [x1, S((g, 3 * cp1, 3 * ma), f32),
+             S((g, m), f32), S((g, m), f32),
+             S((g, 3 * ma, 3 * oa), f32), S((g, o), f32), S((g, o), f32)]
+
+    def fn(x1_, w1p_, s1_, sh1_, w2p_, s2_, sh2_, *rest):
+        extra = dict(kwargs)
+        rest = list(rest)
+        if c2:
+            extra["x2"] = rest.pop(0)
+        if fuse_out:
+            extra["wo"] = rest.pop(0)
+            extra["bo"] = rest.pop(0)
+        return fused_double_conv_ct(
+            x1_, w1p_, s1_, sh1_, w2p_, s2_, sh2_, **extra)
+
+    if c2:
+        n2_rows = (h // 2) if x2_half_h else h
+        parts.append(S((c2, n2_rows * w), bf))
+    if fuse_out:
+        parts.append(S((g, o, out_c), bf))
+        parts.append(S((g, out_c), f32))
+    return fn, tuple(parts)
 
 
 def fused_double_conv_ct(

@@ -780,23 +780,117 @@ _TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
               "dx_fold_split": (64, 32, 16, 8, 4)}
 
 
+def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
+                      o: int, prologue: bool):
+    """(fn, ShapeDtypeStruct args) for compile-probing one train kernel.
+
+    Probe shapes are batch-minimal (2 groups, one image per group, one
+    x2 image) but VMEM-exact: every block and scratch allocation in the
+    train kernels depends only on th/w/channel counts — the batch size
+    changes the grid length, never a per-tile allocation.  ``h = 2*th``
+    keeps two tiles per image so the clamped/unclamped column paths both
+    compile."""
+    h = 2 * th
+    grp = 2
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    oa = align8(o)
+    bf, f32 = jnp.bfloat16, jnp.float32
+    total = grp * h * w
+    n2_total = h * w
+    S = jax.ShapeDtypeStruct
+    x1 = S((c1, total), bf)
+    x2 = S((c2, n2_total), bf) if c2 else None
+    sc = S((grp, cp, 1), f32)
+    sh = S((grp, cp, 1), f32)
+    if kind == "fwd":
+        wp = S((grp, 3 * cp, 3 * oa), f32)
+        fn = functools.partial(
+            _conv_fwd, h=h, w=w, th=th, c1=c1, c2=c2, o=o,
+            n2_images=1 if c2 else 0, prologue=prologue, interpret=False)
+        return fn, (x1, x2, wp, sc, sh)
+    if kind == "dw":
+        g = S((oa, total), bf)
+        fn = functools.partial(
+            _conv_dw, h=h, w=w, th=th, c1=c1, c2=c2, o=o,
+            n2_images=1 if c2 else 0, prologue=prologue, interpret=False)
+        return fn, (g, x1, x2, sc, sh)
+    # dx family
+    g = S((oa, total), bf)
+    wtp = S((grp, 3 * oa, 3 * cp), f32)
+    split = kind.endswith("_split")
+    fold = kind.startswith("dx_fold")
+    fn = functools.partial(
+        _conv_dx, h=h, w=w, th=th, c1=c1, c2=c2, o=o,
+        prologue=prologue and not fold, interpret=False, out_dtype=bf,
+        split=split, fold_n2_total=n2_total if fold else None)
+    if fold:
+        return fn, (g, None, None, wtp, sc, sh)
+    x1p = S((c1a, total), bf) if prologue else None
+    x2p = S((c2a, n2_total), bf) if (prologue and c2) else None
+    return fn, (g, x1p, x2p, wtp, sc, sh)
+
+
+def _probe_ok(kind: str, th: int, w: int, c1: int, c2: int, o: int,
+              prologue: bool) -> bool:
+    from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
+
+    if not probing_enabled():
+        return True
+    key = f"tr:{kind}:th{th}:w{w}:c{c1}x{c2}o{o}:p{int(prologue)}"
+    return probe_fits(
+        key, lambda: _probe_build_kind(kind, th, w, c1, c2, o, prologue))
+
+
 def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
-                 budget: int = 15 * 2 ** 20) -> Optional[int]:
-    """Deepest tile height of ``kind``'s ladder that divides ``h`` and
-    fits the scoped-VMEM estimate."""
+                 budget: int = 15 * 2 ** 20, *,
+                 prologue: bool = True) -> Optional[int]:
+    """Deepest tile height of ``kind``'s ladder that divides ``h``, fits
+    the scoped-VMEM estimate, AND (on TPU) compile-probes clean.
+
+    The estimate orders the ladder and encodes measured perf preferences
+    (it deliberately over-rejects tiles that fit but regress); the probe
+    is the authority on "fits" — an estimator lie can cost a rung of
+    perf but can no longer ship a kernel that fails to compile
+    (VERDICT r3 item 2; two rounds of estimator-miss OOMs before it)."""
     for th in _TH_LADDER[kind]:
         if h % th == 0 and _estimate_vmem_kind(
                 kind, th, w, c1, c2, o) <= budget:
-            return th
+            if _probe_ok(kind, th, w, c1, c2, o, prologue):
+                return th
     return None
 
 
+def pick_th_kind_forced(kind: str, h: int, w: int, c1: int, c2: int,
+                        o: int, th_cap: int, *,
+                        prologue: bool = True) -> int:
+    """Fallback when the estimator rejects the whole ladder: the largest
+    dividing rung <= min(th_cap, 16) that compile-probes clean.  Off-TPU
+    this keeps the historical ``min(th_cap, 16)`` choice (ADVICE r3: the
+    unprobed fallback could itself exceed scoped VMEM)."""
+    cap = min(th_cap, 16)
+    from mimo_unet_tpu.ops.pallas.probe import probing_enabled
+
+    if not probing_enabled():
+        return cap
+    for th in _TH_LADDER[kind]:
+        if th <= cap and h % th == 0 and _probe_ok(
+                kind, th, w, c1, c2, o, prologue):
+            return th
+    raise RuntimeError(
+        f"no CT train {kind} tile compiles for w={w}, c1={c1}, c2={c2}, "
+        f"o={o} — even th=4 exceeds scoped VMEM on this chip; the shape "
+        "should have been rejected by ct_train_path_supported")
+
+
 def pick_th_train(h: int, w: int, c1: int, c2: int, o: int,
-                  budget: int = 15 * 2 ** 20) -> Optional[int]:
+                  budget: int = 15 * 2 ** 20, *,
+                  prologue: bool = True) -> Optional[int]:
     """Forward-kernel tile height (also the feasibility probe used by the
     fast-path gates: whenever the fwd kernel fits, the dx/dw ladders reach
     a fitting tile too — their th=4 footprints are strictly smaller)."""
-    return pick_th_kind("fwd", h, w, c1, c2, o, budget)
+    return pick_th_kind("fwd", h, w, c1, c2, o, budget, prologue=prologue)
 
 
 # ---------------------------------------------------------------------------
@@ -895,13 +989,18 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     # external slice-add fold never touch HBM
     fold_ok = bool(c2) and not prologue and total // x2.shape[1] == grp
     kind_base = "dx_fold" if fold_ok else "dx"
-    th_dx = pick_th_kind(kind_base, h, w, c1, c2, o) or min(th, 16)
+    th_dx = (pick_th_kind(kind_base, h, w, c1, c2, o, prologue=prologue)
+             or pick_th_kind_forced(kind_base, h, w, c1, c2, o, th,
+                                    prologue=prologue))
     dx_split = False
     if cp_ >= 64:
-        th_dxs = pick_th_kind(kind_base + "_split", h, w, c1, c2, o)
+        th_dxs = pick_th_kind(kind_base + "_split", h, w, c1, c2, o,
+                              prologue=prologue)
         if th_dxs is not None and th_dxs > th_dx:
             th_dx, dx_split = th_dxs, True
-    th_dw = pick_th_kind("dw", h, w, c1, c2, o) or min(th, 16)
+    th_dw = (pick_th_kind("dw", h, w, c1, c2, o, prologue=prologue)
+             or pick_th_kind_forced("dw", h, w, c1, c2, o, th,
+                                    prologue=prologue))
     if fold_ok:
         dx1_rows, dx2_rows_f, dsc, dsh = _conv_dx(
             g_eff, None, None, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
