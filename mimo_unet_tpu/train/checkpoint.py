@@ -25,6 +25,24 @@ import numpy as np
 HPARAMS_FILE = "hparams.json"
 STATE_DIR = "state"
 
+# One AsyncCheckpointer per process: orbax's async signaling layer keys
+# barriers by a global operation counter, and two live AsyncCheckpointer
+# instances in one process race those keys (observed: TimeoutError
+# 'awaitable_signals_contract_N/step_directory_creation' when a second
+# manager saved while the first instance was still alive).  All
+# CheckpointManagers share this singleton; it serializes overlapping
+# saves internally.
+_ASYNC_CKPTR = None
+
+
+def _shared_async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
 
 def _task_from_hparams(hparams: Dict[str, Any]):
     from mimo_unet_tpu.tasks.evidential import EvidentialUnetTask
@@ -36,18 +54,31 @@ def _task_from_hparams(hparams: Dict[str, Any]):
     return cls(**{k: v for k, v in hparams.items() if k in field_names})
 
 
-def save_checkpoint(path: str, state, hparams: Dict[str, Any]) -> None:
-    """Write an Orbax checkpoint + hparams.json under ``path``."""
+def save_checkpoint(path: str, state, hparams: Dict[str, Any],
+                    checkpointer=None) -> None:
+    """Write an Orbax checkpoint + hparams.json under ``path``.
+
+    With ``checkpointer`` (an ``ocp.AsyncCheckpointer``), the save is
+    dispatched asynchronously: device buffers are copied to host before
+    this returns (so training may donate/overwrite the state), and the
+    file write overlaps subsequent train steps — the TPU-native
+    equivalent of the reference's non-blocking ModelCheckpoint callback
+    (train_nyuv2_depth.py:22-36).  The caller owns
+    ``checkpointer.wait_until_finished()``."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, HPARAMS_FILE), "w") as f:
         json.dump(hparams, f, indent=2, default=str)
-    ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(path, STATE_DIR)
-    ckptr.save(state_path, state, force=True)
-    ckptr.wait_until_finished()
+    if checkpointer is None:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(state_path, state, force=True)
+        ckptr.wait_until_finished()
+    else:
+        checkpointer.save(state_path, args=ocp.args.StandardSave(state),
+                          force=True)
 
 
 def load_hparams(path: str) -> Dict[str, Any]:
@@ -107,11 +138,31 @@ class CheckpointManager:
     """save_last + best-by-val_loss retention, like the reference's
     ModelCheckpoint callbacks (train_nyuv2_depth.py:22-36)."""
 
-    def __init__(self, root: str, hparams: Dict[str, Any]):
+    def __init__(self, root: str, hparams: Dict[str, Any],
+                 async_save: bool = True):
         self.root = os.path.abspath(root)
         self.hparams = hparams
         self.best_val_loss = float("inf")
+        self._async = async_save
+        self._ckptr = None
         os.makedirs(self.root, exist_ok=True)
+
+    def _checkpointer(self):
+        """The process-shared AsyncCheckpointer: save() copies device
+        buffers to host synchronously (no device_put from a background
+        thread — see data/core.py prefetch note) and overlaps the file
+        write with the next epoch's train steps."""
+        if not self._async:
+            return None
+        if self._ckptr is None:
+            self._ckptr = _shared_async_checkpointer()
+        return self._ckptr
+
+    def wait_until_finished(self) -> None:
+        """Block until every dispatched async save is durably committed
+        (call before reading a just-written checkpoint or exiting)."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     @property
     def last_path(self) -> str:
@@ -122,14 +173,16 @@ class CheckpointManager:
         return os.path.join(self.root, "best")
 
     def save_last(self, state) -> None:
-        save_checkpoint(self.last_path, state, self.hparams)
+        save_checkpoint(self.last_path, state, self.hparams,
+                        checkpointer=self._checkpointer())
 
     def maybe_save_best(self, state, val_loss: float, epoch: int, step: int) -> bool:
         if val_loss < self.best_val_loss:
             self.best_val_loss = float(val_loss)
             hp = dict(self.hparams)
             hp["best"] = {"epoch": epoch, "step": step, "val_loss": float(val_loss)}
-            save_checkpoint(self.best_path, state, hp)
+            save_checkpoint(self.best_path, state, hp,
+                            checkpointer=self._checkpointer())
             return True
         return False
 

@@ -242,6 +242,9 @@ class Trainer:
                 self.ckpt.maybe_save_best(
                     state, val_logs["val_loss"], epoch, global_step
                 )
+        # async saves must be durable before fit() returns (resume and
+        # checkpoint-archiving sinks read the directories right after)
+        self.ckpt.wait_until_finished()
         # wandb log_model parity (reference train_nyuv2_depth.py:67-68):
         # sinks that archive checkpoints get the final one
         if hasattr(self.logger, "log_checkpoint"):

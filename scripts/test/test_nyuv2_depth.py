@@ -35,7 +35,17 @@ def main(args):
         return_raw_predictions=True,
     )
 
+    # extra (name, path) dataset slots, e.g. an OOD split (the reference
+    # keeps a commented-out ("ood", apolloscape_test.h5) entry here —
+    # reference test_nyuv2_depth.py:252-255); each produces the full
+    # artifact set under its own name prefix
     datasets = [("test", os.path.join(args.dataset_dir, "depth_test.h5"))]
+    for spec in args.extra_dataset or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(
+                f"--extra_dataset expects NAME=PATH, got {spec!r}")
+        datasets.append((name, path))
     for dataset_name, dataset_path in datasets:
         for noise_level in NOISE_LEVELS:
             dataset = load_nyuv2_depth(dataset_path, normalize=True)
@@ -57,4 +67,9 @@ if __name__ == "__main__":
     parser.add_argument("--batch_size", type=int, default=5)
     parser.add_argument("--device", type=str, default="tpu")  # compat, unused
     parser.add_argument("--processes", type=int, default=None)  # compat, unused
+    parser.add_argument(
+        "--extra_dataset", nargs="*", default=None, metavar="NAME=PATH",
+        help="additional evaluation datasets (e.g. ood=/data/apolloscape_"
+             "test.h5), each evaluated at every noise level",
+    )
     main(parser.parse_args())

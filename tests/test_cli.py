@@ -57,12 +57,16 @@ class TestTrainEvalCLI:
             "--model_checkpoint_paths", os.path.join(ckpt_dir, "last"),
             "--result_dir", result_dir, "--dataset_dir", data_dir,
             "--batch_size", 4,
+            # the reference's commented-out OOD dataset slot
+            # (test_nyuv2_depth.py:252-255) as a live flag
+            "--extra_dataset", "ood=" + os.path.join(data_dir, "depth_test.h5"),
         )
-        for eps in ("0.0", "0.02", "0.04"):
-            for suffix in ("y_preds.npy", "calibration.csv", "precision_recall.csv",
-                           "metrics.pkl"):
-                path = os.path.join(result_dir, f"test_{eps}_{suffix}")
-                assert os.path.exists(path), path
+        for name in ("test", "ood"):
+            for eps in ("0.0", "0.02", "0.04"):
+                for suffix in ("y_preds.npy", "calibration.csv",
+                               "precision_recall.csv", "metrics.pkl"):
+                    path = os.path.join(result_dir, f"{name}_{eps}_{suffix}")
+                    assert os.path.exists(path), path
         preds = np.load(os.path.join(result_dir, "test_0.0_y_preds.npy"))
         assert preds.shape == (4, 32, 32)
 

@@ -213,6 +213,33 @@ class TestCheckpoint:
         )
 
 
+    def test_async_manager_roundtrip(self, rng, tmp_path):
+        """Back-to-back async dispatches (last while a previous last may
+        still be in flight, then best) land durably and restore equal."""
+        from mimo_unet_tpu.train.checkpoint import CheckpointManager
+
+        task = tiny_task(loss_buffer_size=3, filter_base_count=5)
+        tx = task.make_optimizer(10)
+        state = task.init_state(10)
+        state, _, _ = task.train_step(
+            tx, state, synthetic_batch(rng), jax.random.key(0))
+
+        mgr = CheckpointManager(str(tmp_path), task.hparams(),
+                                async_save=True)
+        mgr.save_last(state)
+        mgr.save_last(state)
+        assert mgr.maybe_save_best(state, 0.5, epoch=0, step=1)
+        mgr.wait_until_finished()
+
+        task2, state2 = load_checkpoint(mgr.last_path, steps_per_epoch=10)
+        assert task2 == task
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        _, state3 = load_checkpoint(mgr.best_path, steps_per_epoch=10)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state3)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestTrainerEndToEnd:
     def test_fit_on_synthetic_h5(self, tmp_path):
         from make_fixtures import make_nyuv2_h5
@@ -456,6 +483,8 @@ class TestResumeSemantics:
         assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.5
         assert mgr2.maybe_save_best(state, 0.3, epoch=3, step=4)
         assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.3
+        mgr.wait_until_finished()
+        mgr2.wait_until_finished()
 
     def test_fit_resume_equivalence(self, tmp_path):
         """fit(2 epochs) == fit(1) + resume(1): identical params, and best/
