@@ -179,8 +179,17 @@ def up_init(
     out_channels: int,
     mode: str,
     groups: int = 1,
+    x1_channels: Optional[int] = None,
 ) -> Tuple[dict, dict]:
-    """``in_channels`` is the post-concat channel count (skip + upsampled)."""
+    """``in_channels`` is the post-concat channel count (skip + upsampled).
+
+    ``x1_channels`` (transpose mode only) is the channel count of the
+    tensor the ConvTranspose2d actually receives, when it differs from
+    ``in_channels``.  The classic U-Net core has x1 == in (skip is half),
+    which is what the reference hardcodes (components.py:97-99); the
+    MIMO decoder's up4 does not (core output 2FS/f vs skip F), which is
+    exactly where the reference's own channel math breaks — passing the
+    true ``x1_channels`` is the corrected wiring (docs/MIGRATION.md)."""
     if mode in (UP_BILINEAR, UP_UNPOOL):
         params, state = double_conv_init(
             key, in_channels, out_channels, mid_channels=in_channels // 2,
@@ -188,7 +197,8 @@ def up_init(
         )
         return {"conv": params}, {"conv": state}
     k_up, k_conv = jax.random.split(key)
-    up = conv_transpose2d_init(k_up, in_channels, in_channels // 2, 2, groups=groups)
+    x1c = in_channels if x1_channels is None else x1_channels
+    up = conv_transpose2d_init(k_up, x1c, x1c // 2, 2, groups=groups)
     params, state = double_conv_init(k_conv, in_channels, out_channels, groups=groups)
     return {"up": up, "conv": params}, {"conv": state}
 

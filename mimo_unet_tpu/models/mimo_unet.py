@@ -77,22 +77,17 @@ class MimoUNetConfig:
                 "Do not specify spatial_dropout together with "
                 "center_dropout_rate or final_dropout_rate!"
             )
-        if not self.bilinear:
-            # The reference's non-bilinear decoder is architecturally
-            # inconsistent and crashes for every config (its decoder Up is
-            # constructed with post-concat channels but applied pre-concat:
-            # ConvTranspose2d channel mismatch / MaxUnpool2d indices channel
-            # mismatch, components.py:96-108 + model.py:265-273).  Its public
-            # task API hardcodes bilinear=True (mimo_unet.py:74-75), so only
-            # the bilinear model is a real surface.  The transpose/unpool Up
-            # blocks themselves are fully supported (models/blocks.py) for
-            # core-style configurations.
-            raise ValueError(
-                "MimoUNet only supports bilinear=True (the reference's "
-                "non-bilinear decoder is broken and unreachable from its "
-                "public API); use models.blocks.up_* directly for "
-                "transpose/unpool upsampling."
-            )
+        # Non-bilinear configs run with CORRECTED decoder channel math:
+        # the reference's own decoder Up is constructed with post-concat
+        # channels but applied pre-concat (ConvTranspose2d channel
+        # mismatch / MaxUnpool2d indices channel mismatch,
+        # components.py:96-108 + model.py:262-294 — it crashes for every
+        # such config, which is why its public task API hardcodes
+        # bilinear=True).  Here up4's transpose takes the core's actual
+        # 2FS output (halving it to FS before the skip concat), and the
+        # unpool decoder tiles each subnetwork's down1 indices across the
+        # S channel groups of the shared core output.  Deviation
+        # documented in docs/MIGRATION.md ("Corrected, not reproduced").
 
     @property
     def factor(self) -> int:
@@ -145,7 +140,14 @@ def mimo_unet_init(key: jax.Array, cfg: MimoUNetConfig) -> Tuple[dict, dict]:
     # --- per-subnetwork decoder
     def init_decoder(k):
         k1, k2 = jax.random.split(k)
-        up4 = up_init(k1, 2 * fs // factor + f, f, cfg.mode)
+        if cfg.mode == "transpose":
+            # corrected math: the transpose consumes the core's actual
+            # 2FS output and halves it; conv input is FS + F (the
+            # reference declares 2FS + F for both and crashes —
+            # components.py:97-99 + model.py:265)
+            up4 = up_init(k1, fs + f, f, cfg.mode, x1_channels=2 * fs)
+        else:
+            up4 = up_init(k1, 2 * fs // factor + f, f, cfg.mode)
         outc = out_conv_init(k2, f, cfg.out_channels)
         return {"up4": up4[0], "outc": outc}, {"up4": up4[1]}
 
@@ -242,6 +244,15 @@ def mimo_unet_apply(
     # ----- decoder: vmap over the subnetwork axis ---------------------------
     def decoder_one(p, st, x1, ind2, k):
         k1, k2 = jax.random.split(k)
+        if cfg.use_pooling_indices and ind2 is not None:
+            # corrected math: this subnetwork's down1 pooling pattern
+            # (F channels) applies to every S-group of the shared core
+            # output (FS channels) — the reference feeds the F-channel
+            # indices straight into an FS-channel MaxUnpool2d and
+            # crashes for S > 1 (model.py:292-294)
+            reps = x_up.shape[-1] // ind2.shape[-1]
+            if reps > 1:
+                ind2 = jnp.tile(ind2, (1, 1, 1, reps))
         y, st_up4 = up_apply(
             p["up4"], st["up4"], x_up, x1, ind2, mode=cfg.mode, train=train,
             dropout_rate=cfg.decoder_dropout_rate, dropout_key=k1,

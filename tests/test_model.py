@@ -91,12 +91,95 @@ class TestShapes:
         assert not np.allclose(np.asarray(y1), np.asarray(y_det))
 
 
-class TestNonBilinearRejected:
-    def test_config_raises_with_explanation(self):
-        with pytest.raises(ValueError, match="bilinear"):
-            small_cfg(bilinear=False)
-        with pytest.raises(ValueError, match="bilinear"):
-            small_cfg(bilinear=False, use_pooling_indices=True)
+class TestNonBilinearCorrected:
+    """Model-level transpose/unpool decoders with CORRECTED channel math
+    (the reference's own decoder crashes for these configs: ConvTranspose2d
+    channel mismatch / MaxUnpool2d indices mismatch, components.py:96-108 +
+    model.py:262-294; deviation documented in docs/MIGRATION.md)."""
+
+    @pytest.mark.parametrize(
+        "mode_kw",
+        [dict(bilinear=False), dict(bilinear=False, use_pooling_indices=True)],
+        ids=["transpose", "unpool"],
+    )
+    def test_forward_shape_and_grads(self, rng, mode_kw):
+        cfg = small_cfg(**mode_kw)
+        params, state = mimo_unet_init(jax.random.key(0), cfg)
+        x = jnp.asarray(
+            rng.standard_normal((2, 2, 32, 32, 3)).astype(np.float32))
+
+        out, new_state = mimo_unet_apply(params, state, x, cfg, train=False)
+        assert out.shape == (2, 2, 32, 32, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+        def loss(p, st):
+            y, _ = mimo_unet_apply(p, st, x, cfg, train=True)
+            return jnp.mean(jnp.square(y))
+
+        grads = jax.grad(loss)(params, state)
+        leaves = jax.tree_util.tree_leaves_with_path(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for _, g in leaves)
+        # every parameter participates — in particular the decoder's
+        # transpose kernel / unpool-fed convs get nonzero gradient.
+        # Conv biases are excluded: they cancel analytically under
+        # train-mode BatchNorm (docs/MIGRATION.md, PERFORMANCE.md r3.7).
+        zero = [jax.tree_util.keystr(k) for k, g in leaves
+                if float(jnp.max(jnp.abs(g))) == 0.0
+                and not jax.tree_util.keystr(k).endswith("['b']")]
+        assert not zero, f"dead parameters: {zero}"
+
+    @pytest.mark.parametrize(
+        "mode_kw",
+        [dict(bilinear=False), dict(bilinear=False, use_pooling_indices=True)],
+        ids=["transpose", "unpool"],
+    )
+    def test_trains_end_to_end(self, rng, mode_kw):
+        import optax
+
+        cfg = small_cfg(**mode_kw)
+        params, state = mimo_unet_init(jax.random.key(1), cfg)
+        x = jnp.asarray(
+            rng.standard_normal((4, 2, 16, 16, 3)).astype(np.float32))
+        y_t = jnp.asarray(
+            rng.standard_normal((4, 2, 16, 16, 2)).astype(np.float32))
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, st, opt):
+            def loss(p):
+                y, new_st = mimo_unet_apply(p, st, x, cfg, train=True)
+                return jnp.mean(jnp.square(y - y_t)), new_st
+
+            (val, new_st), g = jax.value_and_grad(loss, has_aux=True)(p)
+            upd, opt = tx.update(g, opt)
+            return optax.apply_updates(p, upd), new_st, opt, val
+
+        losses = []
+        for _ in range(12):
+            params, state, opt, val = step(params, state, opt)
+            losses.append(float(val))
+        assert losses[-1] < losses[0] * 0.9, losses
+
+    @requires_reference
+    def test_unpool_s1_full_model_parity(self, rng):
+        """At S=1 the reference's unpool decoder is self-consistent (its
+        indices/channel mismatch only bites for S > 1), giving a real
+        oracle for the full corrected model wiring."""
+        cfg = small_cfg(num_subnetworks=1, bilinear=False,
+                        use_pooling_indices=True)
+        ref = build_reference_model(cfg).eval()
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        params, state = torch_state_dict_to_pytree(sd, cfg)
+
+        x = rng.standard_normal((2, 1, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x)).numpy()
+
+        x_nhwc = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+        got, _ = mimo_unet_apply(params, state, x_nhwc, cfg, train=False)
+        got_nchw = np.transpose(np.asarray(got), (0, 1, 4, 2, 3))
+        np.testing.assert_allclose(got_nchw, want, atol=2e-4, rtol=1e-4)
 
 
 @requires_reference
