@@ -862,10 +862,12 @@ def ct_train_path_supported(
         return False
     if cfg.compute_dtype != "bfloat16" or cfg.mode != "bilinear":
         return False
-    if any(r > 0 for r in (cfg.center_dropout_rate, cfg.final_dropout_rate,
-                           cfg.encoder_dropout_rate, cfg.core_dropout_rate,
-                           cfg.decoder_dropout_rate)):
-        return False
+    # every dropout site is supported on the train path: encoder/decoder
+    # Dropout2d folds into per-image affine params (relu(a)*m ==
+    # relu(a*m) for the nonnegative inverted-dropout scale, so the
+    # existing elementwise kernels run with groups=N), core/center sites
+    # live in the XLA core, and the elementwise final dropout takes the
+    # unfused decoder out-conv route
     if len(x_shape) != 5:
         return False
     h, w = x_shape[2], x_shape[3]
@@ -1027,8 +1029,33 @@ def _psum_stats(s, q, axis):
     return lax.psum(s, axis), lax.psum(q, axis)
 
 
-def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
-                     axis):
+def _drop_scales_sbc(keys, rate, b, c):
+    """Per-(subnetwork, image, channel) inverted Dropout2d scales, drawn
+    exactly as the XLA path's ``dropout2d`` (per-subnetwork key,
+    ``bernoulli(k, keep, (b, 1, 1, c))``) so the masks match it bitwise.
+    Returns [s, b, c] f32 (0 or 1/keep)."""
+    keep = 1.0 - rate
+    masks = jax.vmap(
+        lambda k: jax.random.bernoulli(k, keep, (b, 1, 1, c))
+    )(keys)
+    return masks[:, :, 0, 0, :].astype(jnp.float32) / keep
+
+
+def _per_image_affine(sc, sh, m):
+    """Fold Dropout2d scales into the BN affine: with m >= 0,
+    ``relu(y*sc + sh) * m == relu(y*(sc*m) + sh*m)`` — the dropout site
+    costs nothing (the elementwise kernels just run with one parameter
+    column per image instead of per group).  sc/sh [s, c] + m [s, b, c]
+    -> ([s*b, c, 1], [s*b, c, 1]); gradients to sc/sh flow through the
+    broadcast (autodiff sums over b)."""
+    s, b, c = m.shape
+    sci = (sc.astype(jnp.float32)[:, None, :] * m).reshape(s * b, c, 1)
+    shi = (sh.astype(jnp.float32)[:, None, :] * m).reshape(s * b, c, 1)
+    return sci, shi
+
+
+def _enc_train_local(enc_p, enc_s, x, k_enc, *, cfg, cnt_full, cnt_half,
+                     interpret, axis):
     """Per-device train encoder: x [b, S, H, W, Cin] ->
     (x1s [fa, S, b, H, W], x2s [f2a, S, b, H/2, W/2], new_enc_state).
 
@@ -1050,10 +1077,24 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
 
     xct = jnp.transpose(x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
 
+    enc_rate = cfg.encoder_dropout_rate
+    if enc_rate > 0:
+        # per-device masks must be independent under a mesh (the XLA
+        # path draws them on the global batch; see _enc_eval_local)
+        if axis is not None:
+            k_enc = jax.random.fold_in(k_enc, lax.axis_index(axis))
+        ks = jax.vmap(
+            lambda k: tuple(jax.random.split(k))
+        )(jax.random.split(k_enc, s))  # per-s (k1, k2), XLA-path order
+
     def widen(wg, c_real, c_pad, m):
         return jnp.zeros((3, 3, c_pad, m), wg.dtype).at[:, :, :c_real].set(wg)
 
-    def apply_affine(y, sc, sh, c_real):
+    def apply_affine(y, sc, sh, c_real, drop_key=None):
+        if enc_rate > 0 and drop_key is not None:
+            m = _drop_scales_sbc(drop_key, enc_rate, b, c_real)
+            sci, shi = _per_image_affine(sc, sh, m)
+            return affine_relu_ct(y, sci, shi, c_real, s * b, interpret)
         return affine_relu_ct(y, sc[..., None], sh[..., None], c_real, s,
                               interpret)
 
@@ -1080,7 +1121,10 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
         s2, q2, cnt_full, ic["conv2"]["b"], ic["bn2"], enc_s["in_conv"]["bn2"])
 
     # skip connection + pool input: z2 = relu(affine2(y2)), group-blocked
-    x1s = apply_affine(y2, sc2, sh2, f)  # [fa, n*h*w]
+    # (the in_conv Dropout2d site folds into the affine — see
+    # _per_image_affine)
+    x1s = apply_affine(y2, sc2, sh2, f,
+                       drop_key=ks[0] if enc_rate > 0 else None)
     h2, w2 = h // 2, w // 2
 
     if _ct_train_down1_aligned(h, w):
@@ -1120,7 +1164,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
         sc4, sh4, new_enc["down1"]["bn2"] = _bn_affine_from_stats(
             s4, q4, cnt_half, d1["conv2"]["b"], d1["bn2"],
             enc_s["down1"]["bn2"])
-        x2s = apply_affine(y4, sc4, sh4, f2)  # [f2a, n*h2*w2]
+        x2s = apply_affine(y4, sc4, sh4, f2,
+                           drop_key=ks[1] if enc_rate > 0 else None)
         x2s5 = x2s.reshape(f2a, s, b, h2, w2)
     else:
         # ---- down1 (NHWC fallback, half width unaligned: 640x480 frames) ---
@@ -1131,13 +1176,17 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
         x1_nhwc = jnp.transpose(
             x1s.reshape(fa, s, b, h, w)[:f], (1, 2, 3, 4, 0))
 
-        def down1_one(p, st, xs):
+        def down1_one(p, st, xs, k):
             (x2, _), new_st = down_apply(p, st, xs, train=True,
-                                         compute_dtype=cdt)
+                                         compute_dtype=cdt,
+                                         dropout_rate=enc_rate,
+                                         dropout_key=k)
             return x2, new_st
 
+        d1_keys = (ks[1] if enc_rate > 0
+                   else jax.random.split(jax.random.key(0), s))
         x2, d1_state = jax.vmap(down1_one)(
-            enc_p["down1"], enc_s["down1"], x1_nhwc)
+            enc_p["down1"], enc_s["down1"], x1_nhwc, d1_keys)
         new_enc["down1"] = d1_state
         x2s5 = jnp.transpose(x2, (4, 0, 1, 2, 3))  # [2f, s, b, h2, w2]
         if f2a != f2:
@@ -1147,8 +1196,8 @@ def _enc_train_local(enc_p, enc_s, x, *, cfg, cnt_full, cnt_half, interpret,
     return x1s.reshape(fa, s, b, h, w), x2s5, new_enc
 
 
-def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
-                     axis):
+def _dec_train_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, cnt_full,
+                     interpret, axis):
     """Per-device train decoder: (x1s [fa, S, b, H, W], x_up NHWC) ->
     (logits [b, S, H, W, out_channels] f32, new_dec_state)."""
     from mimo_unet_tpu.ops.pallas.ct_elem import conv1x1_prelu_ct
@@ -1220,9 +1269,45 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, *, cfg, cnt_full, interpret,
     oca = align8(oc)
     wo = jnp.zeros((s, f, oca)).at[:, :, :oc].set(outc["w"][:, 0, 0])
     bo = jnp.zeros((s, oca, 1)).at[:, :oc, 0].set(outc["b"])
-    logits_ct = conv1x1_prelu_ct(
-        y6, sc6[..., None], sh6[..., None], wo, bo, f, s,
-        interpret)  # [oca, n*h*w]
+    dec_rate = cfg.decoder_dropout_rate
+    fin_rate = cfg.final_dropout_rate
+    n = s * b
+    if (dec_rate > 0 or fin_rate > 0) and axis is not None:
+        # per-device masks must be independent under a mesh
+        k_dec = jax.random.fold_in(k_dec, lax.axis_index(axis))
+    if dec_rate > 0:
+        # up4's Dropout2d site (components.py:29, DoubleConv end) folds
+        # into per-image affine params; wo/bo broadcast per image so the
+        # fused kernel runs with groups=N (grads sum over b via autodiff)
+        ks = jax.vmap(
+            lambda k: tuple(jax.random.split(k))
+        )(jax.random.split(k_dec, s))  # XLA decoder_one key order
+        m6 = _drop_scales_sbc(ks[0], dec_rate, b, f)
+        sc6i, sh6i = _per_image_affine(sc6, sh6, m6)
+        wo_i = jnp.broadcast_to(wo[:, None], (s, b, f, oca)).reshape(
+            n, f, oca)
+        bo_i = jnp.broadcast_to(bo[:, None], (s, b, oca, 1)).reshape(
+            n, oca, 1)
+        logits_ct = conv1x1_prelu_ct(
+            y6, sc6i, sh6i, wo_i, bo_i, f, n, interpret)  # [oca, n*h*w]
+    elif fin_rate > 0:
+        # elementwise final dropout sits between the relu and the 1x1
+        # (reference model.py:281): unfused route.  The mask is drawn on
+        # the CT layout, so its per-element pattern differs from the NHWC
+        # path's draw (same deviation as the eval path; docs/MIGRATION.md)
+        from mimo_unet_tpu.ops.dropout import dropout as _dropout
+        from mimo_unet_tpu.ops.pallas.ct_elem import (affine_relu_ct,
+                                                      conv1x1_ct)
+
+        z6 = affine_relu_ct(y6, sc6[..., None], sh6[..., None], f, s,
+                            interpret)
+        z6 = _dropout(z6, fin_rate, jax.random.fold_in(k_dec, 0),
+                      deterministic=False)
+        logits_ct = conv1x1_ct(z6.astype(cdt), wo, bo, f, s, interpret)
+    else:
+        logits_ct = conv1x1_prelu_ct(
+            y6, sc6[..., None], sh6[..., None], wo, bo, f, s,
+            interpret)  # [oca, n*h*w]
 
     logits = logits_ct[:oc].reshape(oc, s, b, h, w)
     logits = jnp.transpose(logits, (2, 1, 3, 4, 0)).astype(jnp.float32)
@@ -1261,6 +1346,11 @@ def mimo_unet_apply_ct_train(
     # GLOBAL per-group counts: the mesh-wide batch normalizes every group
     cnt_full = b * h * w
     cnt_half = b * (h // 2) * (w // 2)
+    if rng is None:
+        rng = jax.random.key(0)
+    # the XLA path's key tree (mimo_unet_apply), so the Dropout2d masks
+    # match it bitwise for a shared rng
+    k_enc, k_core, k_dec = jax.random.split(rng, 3)
 
     enc = partial(_enc_train_local, cfg=cfg, cnt_full=cnt_full,
                   cnt_half=cnt_half, interpret=interpret, axis=axis)
@@ -1268,34 +1358,34 @@ def mimo_unet_apply_ct_train(
                   interpret=interpret, axis=axis)
 
     if mesh is None:
-        x1s5, x2s5, new_enc = enc(params["encoder"], state["encoder"], x)
+        x1s5, x2s5, new_enc = enc(params["encoder"], state["encoder"], x,
+                                  k_enc)
     else:
         x1s5, x2s5, new_enc = jax.shard_map(
             enc, mesh=mesh,
-            in_specs=(P(), P(), P(axis)),
+            in_specs=(P(), P(), P(axis), P()),
             out_specs=(P(None, None, axis), P(None, None, axis), P()),
             check_vma=False,
-        )(params["encoder"], state["encoder"], x)
+        )(params["encoder"], state["encoder"], x, k_enc)
 
     # ---- core (NHWC XLA, train) --------------------------------------------
     h2, w2 = h // 2, w // 2
     x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
         b, h2, w2, s * f2)
-    if rng is None:
-        rng = jax.random.key(0)
     x_up, core_st = core_apply(
         params["core"], state["core"], x2_concat, cfg, train=True,
-        rng=rng)
+        rng=k_core, dropout_active=True)
 
     if mesh is None:
-        logits, new_dec = dec(params["decoder"], state["decoder"], x1s5, x_up)
+        logits, new_dec = dec(params["decoder"], state["decoder"], x1s5,
+                              x_up, k_dec)
     else:
         logits, new_dec = jax.shard_map(
             dec, mesh=mesh,
-            in_specs=(P(), P(), P(None, None, axis), P(axis)),
+            in_specs=(P(), P(), P(None, None, axis), P(axis), P()),
             out_specs=(P(axis), P()),
             check_vma=False,
-        )(params["decoder"], state["decoder"], x1s5, x_up)
+        )(params["decoder"], state["decoder"], x1s5, x_up, k_dec)
 
     new_state = {
         "encoder": {
