@@ -273,14 +273,22 @@ def _upsample_ct_x2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
     return y.reshape(c, n * 4 * h * w)
 
 
-def _upsample_ct_w2(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
+def _upsample_ct_w2(x: jax.Array, n: int, h: int, w: int,
+                    interpret=None) -> jax.Array:
     """W-half only of the bilinear x2 on CT activations ([c, n*h*w] ->
     [c, n*h*2w]); the H-half runs inside the consuming kernel's column
     builder (``fused_double_conv_ct(x2_half_h=True)``) so the full-res
-    upsampled tensor never lands in HBM."""
-    from mimo_unet_tpu.ops.resize import mat_einsum
+    upsampled tensor never lands in HBM.  Flat-lane Pallas pass when
+    supported (the einsum form's [c, rows, w] view change cost ~750 MiB
+    of XLA layout copies per eval step around the pallas consumers)."""
+    from mimo_unet_tpu.ops.pallas.ct_resize import (upsample_w2x_ct,
+                                                    upsample_w2x_ct_supported)
 
     c = x.shape[0]
+    if upsample_w2x_ct_supported(c, n * h, w):
+        return upsample_w2x_ct(x, n * h, w, interpret)
+    from mimo_unet_tpu.ops.resize import mat_einsum
+
     x3 = x.reshape(c, n * h, w)
     mw = jnp.asarray(_interp_matrix(w, 2 * w)).astype(x.dtype)
     y = mat_einsum("pw,crw->crp", "pw,crp->crw", mw, x3)

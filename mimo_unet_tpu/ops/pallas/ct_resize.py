@@ -193,6 +193,108 @@ def _up2_bwd_call(g, n, h2, w2, dtype, interpret):
     )(g, mw.astype(g.dtype))
 
 
+def upsample_w2x_ct_supported(c: int, rows: int, w2: int) -> bool:
+    return (w2 % 128 == 0 and _pick_tr(rows) is not None
+            and c * _pick_tr(rows) * 3 * w2 * 2 * 4 <= 12 * 2 ** 20)
+
+
+def _pick_tr(rows: int):
+    for tr in (16, 8, 4, 2, 1):
+        if rows % tr == 0:
+            return tr
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def upsample_w2x_ct(x, rows, w2, interpret=None):
+    """W-half only of the bilinear x2: [c, rows*w2] -> [c, rows*2*w2],
+    one memory-speed Pallas pass.
+
+    The einsum form (ops/resize.py mat_einsum via fast_path
+    ``_upsample_ct_w2``) needs a [c, rows, w2] view of the flat lane
+    axis, and XLA materializes the view change as full-tensor layout
+    copies around the pallas consumers (~750 MiB of raw ``copy`` ops in
+    the round-4 eval trace).  Flat-in/flat-out with the W-dot per row
+    inside the kernel, none of those copies exist."""
+    return _w2x_fwd_call(x, rows, w2, interpret)
+
+
+def _w2x_fwd_call(x, rows, w2, interpret):
+    if interpret is None:
+        interpret = _use_interpret()
+    c = x.shape[0]
+    w = 2 * w2
+    tr = _pick_tr(rows)
+    mwt = jnp.asarray(_interp_matrix(w2, w).T)  # [w2, w]
+
+    def kern(x_ref, mw_ref, y_ref):
+        for j in range(tr):
+            y_ref[:, j * w:(j + 1) * w] = jax.lax.dot_general(
+                x_ref[:, j * w2:(j + 1) * w2], mw_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(y_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        name=f"upw2_ct_c{c}_w{w2}",
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2, w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tr * w), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, rows * w), x.dtype),
+        interpret=interpret,
+    )(x, mwt.astype(x.dtype))
+
+
+def _w2x_bwd_call(g, rows, w2, dtype, interpret):
+    if interpret is None:
+        interpret = _use_interpret()
+    c = g.shape[0]
+    w = 2 * w2
+    tr = _pick_tr(rows)
+    mw = jnp.asarray(_interp_matrix(w2, w))  # [w, w2]
+
+    def kern(g_ref, mw_ref, dx_ref):
+        for j in range(tr):
+            dx_ref[:, j * w2:(j + 1) * w2] = jax.lax.dot_general(
+                g_ref[:, j * w:(j + 1) * w], mw_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        name=f"upw2_ct_bwd_c{c}_w{w2}",
+        grid=(rows // tr,),
+        in_specs=[
+            pl.BlockSpec((c, tr * w), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, rows * w2), dtype),
+        interpret=interpret,
+    )(g, mw.astype(g.dtype))
+
+
+def _w2x_fwd_rule(x, rows, w2, interpret):
+    return _w2x_fwd_call(x, rows, w2, interpret), None
+
+
+def _w2x_bwd_rule(rows, w2, interpret, res, g):
+    del res
+    return (_w2x_bwd_call(g, rows, w2, g.dtype, interpret),)
+
+
+upsample_w2x_ct.defvjp(_w2x_fwd_rule, _w2x_bwd_rule)
+
+
 def _up2_fwd_rule(x, n, h2, w2, interpret):
     # out dtype == in dtype, so the cotangent's dtype is the dx dtype;
     # no residuals needed

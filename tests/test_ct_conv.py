@@ -331,6 +331,45 @@ class TestFastPathForward:
             force, (2, 2, 16, 200, 3), train=False, mc_dropout=False)
 
 
+class TestUpsampleW2xCT:
+    def test_matches_einsum_w_half_fwd_and_grad(self):
+        """The flat-lane W-half Pallas pass vs the mat_einsum form: same
+        [w2 -> w] interp dot in the same operand dtype, so forward and
+        gradient must agree to bf16 accumulation noise."""
+        from mimo_unet_tpu.ops.pallas.ct_resize import (
+            upsample_w2x_ct, upsample_w2x_ct_supported)
+        from mimo_unet_tpu.ops.resize import (_interp_matrix, mat_einsum)
+
+        c, rows, w2 = 24, 36, 128
+        assert upsample_w2x_ct_supported(c, rows, w2)
+        x = jax.random.normal(jax.random.key(0), (c, rows * w2)).astype(
+            jnp.bfloat16)
+
+        def ref_fn(v):
+            x3 = v.reshape(c, rows, w2)
+            mw = jnp.asarray(_interp_matrix(w2, 2 * w2)).astype(v.dtype)
+            y = mat_einsum("pw,crw->crp", "pw,crp->crw", mw, x3)
+            return y.reshape(c, rows * 2 * w2)
+
+        ref = ref_fn(x)
+        got = upsample_w2x_ct(x, rows, w2, True)
+        np.testing.assert_allclose(
+            np.asarray(ref, np.float32), np.asarray(got, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+        wts = jax.random.normal(jax.random.key(1), ref.shape)
+
+        def loss(fn):
+            return lambda v: jnp.sum(fn(v).astype(jnp.float32) * wts)
+
+        g_ref = jax.grad(loss(ref_fn))(x)
+        g_new = jax.grad(
+            loss(lambda v: upsample_w2x_ct(v, rows, w2, True)))(x)
+        np.testing.assert_allclose(
+            np.asarray(g_ref, np.float32), np.asarray(g_new, np.float32),
+            rtol=5e-2, atol=5e-2)
+
+
 class TestUpsample2xCT:
     def test_matches_matmul_upsample_fwd_and_grad(self):
         """upsample2x_ct (one Pallas pass each way) vs the matmul-einsum
