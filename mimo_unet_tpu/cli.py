@@ -79,9 +79,10 @@ def add_trainer_args(parser: ArgumentParser, project: str, max_epochs: int = 100
     parser.add_argument("--log_every_n_steps", type=int, default=200)
     parser.add_argument("--device_cache", action="store_true",
                         help="Pin the train split in device HBM and gather "
-                             "batches on-chip inside the jitted step "
-                             "(single-device meshes; see data/core.py "
-                             "DeviceDataset).")
+                             "batches on-chip inside the jitted step; "
+                             "multi-device meshes pin per-device row shards "
+                             "and sample shard-locally (DistributedSampler "
+                             "semantics; see data/core.py DeviceDataset).")
     return parser
 
 

@@ -144,13 +144,40 @@ class DeviceDataset:
 
     Use ``gather(idx)`` inside a jitted step, then ``device_normalize``
     (which the tasks already apply) for the uint8 -> [0,1] float32 step.
+
+    With ``mesh`` (>1 data-parallel devices), the rows are pinned
+    row-SHARDED across the mesh's data axis (per-device shard pinning)
+    and sampling becomes shard-local — the semantics of torch's
+    ``DistributedSampler`` (each rank partitions the wrapped index space
+    and shuffles its partition per epoch), which is what the reference
+    gets from Lightning's multi-GPU DataLoader.  ``gather`` then runs
+    under ``shard_map`` so every device indexes only its own shard (no
+    cross-device collectives on the sample path).
     """
 
-    def __init__(self, dataset: ArrayDataset, device=None):
+    def __init__(self, dataset: ArrayDataset, device=None, mesh=None):
         self.n = len(dataset)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is None:
+            self.n_shards = 1
+            self.n_local = self.n
+            self.data = {
+                k: (jax.device_put(v, device) if device is not None
+                    else jax.device_put(v))
+                for k, v in dataset.data.items()
+                if v is not None
+            }
+            return
+        from mimo_unet_tpu.parallel.mesh import DATA_AXIS
+
+        d = int(self.mesh.shape[DATA_AXIS])
+        self.n_shards = d
+        self.n_local = -(-self.n // d)  # ceil: wrapped DistributedSampler pad
+        wrapped = np.arange(self.n_local * d) % self.n
+        sharding = jax.NamedSharding(self.mesh, jax.sharding.PartitionSpec(
+            DATA_AXIS))
         self.data = {
-            k: (jax.device_put(v, device) if device is not None
-                else jax.device_put(v))
+            k: jax.device_put(np.ascontiguousarray(v[wrapped]), sharding)
             for k, v in dataset.data.items()
             if v is not None
         }
@@ -164,10 +191,67 @@ class DeviceDataset:
                    for v in self.data.values())
 
     def gather(self, idx) -> Batch:
-        """On-device batch gather (jit-safe): idx [B] -> dict of [B, ...]."""
+        """On-device batch gather (jit-safe).
+
+        Unsharded: idx [B] global rows -> dict of [B, ...].
+        Sharded: idx [D, B/D] shard-LOCAL rows (row d for data-device d)
+        -> dict of [B, ...] batch-sharded arrays; each device gathers
+        from its own pinned shard only."""
         import jax.numpy as jnp
 
-        return {k: jnp.take(v, idx, axis=0) for k, v in self.data.items()}
+        if self.mesh is None:
+            return {k: jnp.take(v, idx, axis=0) for k, v in self.data.items()}
+        from mimo_unet_tpu.parallel.mesh import DATA_AXIS
+
+        P = jax.sharding.PartitionSpec
+
+        def _local(data, ix):
+            ix = ix.reshape(-1)
+            return {k: v[ix] for k, v in data.items()}
+
+        return jax.shard_map(
+            _local, mesh=self.mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS, None)),
+            out_specs=P(DATA_AXIS),
+        )(self.data, idx)
+
+    def index_sharding(self):
+        """Sharding for the [D, B/D] per-step index array (None when
+        unsharded — the plain [B] global index array needs no placement)."""
+        if self.mesh is None:
+            return None
+        from mimo_unet_tpu.parallel.mesh import DATA_AXIS
+
+        return jax.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(DATA_AXIS, None))
+
+
+def iterate_sharded_index_batches(
+    n: int,
+    n_shards: int,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: Optional[int] = None,
+    epoch: int = 0,
+) -> Iterator[np.ndarray]:
+    """Shard-local sampling for a mesh-sharded DeviceDataset: yields
+    [D, B/D] int32 arrays of shard-LOCAL rows.  DistributedSampler
+    semantics (torch.utils.data.distributed): the wrapped index space
+    [0, ceil(n/D)*D) is partitioned contiguously across shards and each
+    shard permutes its partition per epoch; batches are always full
+    (drop_last on the per-shard remainder)."""
+    assert batch_size % n_shards == 0, (batch_size, n_shards)
+    bd = batch_size // n_shards
+    n_local = -(-n // n_shards)
+    rng = np.random.default_rng(None if seed is None else seed + epoch)
+    if shuffle:
+        orders = np.stack([rng.permutation(n_local) for _ in range(n_shards)])
+    else:
+        orders = np.tile(np.arange(n_local), (n_shards, 1))
+    for start in range(0, (n_local // bd) * bd, bd):
+        yield np.ascontiguousarray(
+            orders[:, start:start + bd].astype(np.int32))
 
 
 def dataset_nbytes(dataset: ArrayDataset) -> int:

@@ -121,29 +121,35 @@ class Trainer:
         # ------------- device-resident dataset (TPU extension) -------------
         # Pin the train split in device HBM once and fold the batch gather
         # into the jitted step: per-step host work becomes drawing indices.
-        # Single-device only (a sharded HBM cache would need per-shard
-        # index routing); >1-device meshes fall back to host feeding.
+        # Multi-device meshes pin per-device row shards and sample
+        # shard-locally (DistributedSampler semantics — data/core.py
+        # DeviceDataset).
         use_cache = self.device_cache
-        if use_cache and self.mesh.size > 1:
-            print("[trainer] device_cache requested but mesh spans "
-                  f"{self.mesh.size} devices; falling back to host feeding")
-            use_cache = False
         if use_cache:
             from mimo_unet_tpu.data.core import DeviceDataset
 
-            dev_ds = DeviceDataset(dm.train_dataset())
+            dev_ds = DeviceDataset(
+                dm.train_dataset(),
+                mesh=self.mesh if self.mesh.size > 1 else None)
+            shards = (f" x {dev_ds.n_shards} shards"
+                      if dev_ds.n_shards > 1 else "")
             print(f"[trainer] device cache: {len(dev_ds)} items, "
-                  f"{dev_ds.nbytes / 1e6:.0f} MB in HBM")
+                  f"{dev_ds.nbytes / 1e6:.0f} MB in HBM{shards}")
 
             def _cached_step(with_outputs, state, data, idx, rng):
+                batch = dev_ds.gather(idx) if dev_ds.mesh is not None else {
+                    k: jax.numpy.take(v, idx, axis=0)
+                    for k, v in data.items()}
                 return task.train_step(
-                    tx, state,
-                    {k: jax.numpy.take(v, idx, axis=0) for k, v in data.items()},
-                    rng, with_outputs=with_outputs)
+                    tx, state, batch, rng, with_outputs=with_outputs)
 
-            cached_step = jax.jit(partial(_cached_step, False),
-                                  donate_argnums=(0,))
-            cached_step_with_outputs = jax.jit(partial(_cached_step, True))
+            idx_shard = dev_ds.index_sharding()
+            cached_step = jax.jit(
+                partial(_cached_step, False), donate_argnums=(0,),
+                in_shardings=(repl, None, idx_shard, repl))
+            cached_step_with_outputs = jax.jit(
+                partial(_cached_step, True),
+                in_shardings=(repl, None, idx_shard, repl))
         val_step = jax.jit(
             task.val_step, in_shardings=(repl, repl, data_shard)
         )
@@ -155,7 +161,15 @@ class Trainer:
             t_epoch = time.time()
             images_seen = 0
             pending_logs = None
-            if use_cache:
+            if use_cache and dev_ds.mesh is not None:
+                from mimo_unet_tpu.data.core import (
+                    iterate_sharded_index_batches)
+
+                batches = iterate_sharded_index_batches(
+                    len(dev_ds), dev_ds.n_shards, dm.batch_size,
+                    shuffle=True, seed=self.seed, epoch=epoch,
+                )
+            elif use_cache:
                 from mimo_unet_tpu.data.core import iterate_index_batches
 
                 batches = iterate_index_batches(
@@ -175,7 +189,8 @@ class Trainer:
                     and global_step % self.log_every_n_steps == 0
                 )
                 if use_cache:
-                    n_batch = len(batch)
+                    n_batch = int(np.asarray(batch).size
+                                  if batch.ndim > 1 else len(batch))
                     if want_images:
                         new_state, logs, outputs = cached_step_with_outputs(
                             state, dev_ds.data, batch, rng

@@ -341,7 +341,33 @@ class TestTrainerEndToEnd:
                         jax.tree.leaves(states[1].params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_fit_device_cache_falls_back_on_multi_device_mesh(self, tmp_path):
+    def test_sharded_device_cache_gather_matches_rows(self):
+        """Mesh-sharded DeviceDataset: per-device shard pinning with
+        shard-local gather must return exactly the wrapped-partition rows
+        (DistributedSampler semantics)."""
+        from mimo_unet_tpu.data.core import ArrayDataset, DeviceDataset
+        from mimo_unet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(4)
+        n = 10  # not divisible by 4: wrapped pad (n_local=3, rows wrap)
+        data = {"image": np.arange(n * 6, dtype=np.float32).reshape(n, 6)}
+        ds = ArrayDataset(data)
+        dev = DeviceDataset(ds, mesh=mesh)
+        assert dev.n_shards == 4 and dev.n_local == 3
+
+        idx = np.array([[0, 2], [1, 0], [2, 1], [0, 2]], dtype=np.int32)
+        got = jax.jit(dev.gather)(idx)["image"]
+        wrapped = np.arange(12) % n
+        want = np.concatenate([
+            data["image"][wrapped[d * 3:(d + 1) * 3][idx[d]]]
+            for d in range(4)
+        ])
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_fit_sharded_device_cache_over_mesh(self, tmp_path):
+        """--device_cache on a 4-device mesh: per-device shard pinning +
+        shard-local sampling trains end-to-end (the pre-round-4 behavior
+        was a fallback to host feeding)."""
         from make_fixtures import make_nyuv2_h5
         from mimo_unet_tpu.data.nyuv2 import NYUv2DepthDataModule
         from mimo_unet_tpu.train.trainer import Trainer
@@ -349,13 +375,17 @@ class TestTrainerEndToEnd:
         data_dir = make_nyuv2_h5(os.path.join(tmp_path, "data"), n=8, h=32, w=32)
         dm = NYUv2DepthDataModule(dataset_dir=data_dir, batch_size=8, seed=0)
         trainer = Trainer(
-            tiny_task(), dm, max_epochs=1,
+            tiny_task(), dm, max_epochs=2,
             checkpoint_path=os.path.join(tmp_path, "ckpt"),
             log_every_n_steps=0, log_images=False, num_devices=4, seed=0,
             device_cache=True,
         )
-        state = trainer.fit()  # must not crash; host path takes over
-        assert int(state.step) == 1
+        state = trainer.fit()
+        assert int(state.step) == 2
+        assert all(np.all(np.isfinite(np.asarray(x)))
+                   for x in jax.tree.leaves(state.params))
+        assert trainer.history and np.isfinite(
+            trainer.history[-1]["val_loss"])
 
     def test_fit_sharded_over_mesh(self, tmp_path):
         """Data-parallel fit over all 8 virtual CPU devices."""
