@@ -1138,11 +1138,18 @@ def _enc_train_local(enc_p, enc_s, x, k_enc, *, cfg, cnt_full, cnt_half,
     if _ct_train_down1_aligned(h, w):
         # ---- down1 (CT kernels) --------------------------------------------
         from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool2x2_ct,
-                                                      pool_ct_supported)
+                                                      max_pool2x2_skip_ct,
+                                                      pool_ct_supported,
+                                                      pool_skip_ct_supported)
 
-        if pool_ct_supported(fa, n, h, w):
-            # pool in the CT tiling: the 4D reduce_window form retiles the
-            # full-res tensor both ways (2 x 805 MB copies at the flagship)
+        if pool_skip_ct_supported(fa, n, h, w):
+            # pool in the CT tiling (the 4D reduce_window form retiles the
+            # full-res tensor both ways — 2 x 805 MB copies at the
+            # flagship), with the decoder-skip cotangent add fused into
+            # the pool backward: rebinding x1s to the pair's identity
+            # output routes its cotangent through the fused kernel
+            pooled, x1s = max_pool2x2_skip_ct(x1s, n, h, w, interpret)
+        elif pool_ct_supported(fa, n, h, w):
             pooled = max_pool2x2_ct(x1s, n, h, w, interpret)
         else:
             pooled = _max_pool_ct(x1s.reshape(fa, n, h, w)).reshape(fa, -1)

@@ -160,8 +160,12 @@ def g_eff_ct(dy, y, dsum, dsumsq, o_real, groups, interpret=None):
                       name=f"g_eff_c{o_real}")
 
 
-def _pool_tr(c: int, n: int, h: int, w: int):
-    """Input-row-pair tile count for max_pool2x2_ct (None = no fit)."""
+def _pool_tr(c: int, n: int, h: int, w: int, skip: bool = False):
+    """Input-row-pair tile count for max_pool2x2_ct (None = no fit).
+
+    ``skip``: the backward also streams the full-res skip cotangent
+    block (see max_pool2x2_skip_ct) — one more double-buffered
+    [c, 2*tr*w] input."""
     rows = n * h
     w2 = w // 2
     for tr in (64, 32, 16, 8, 4, 2, 1):
@@ -169,6 +173,8 @@ def _pool_tr(c: int, n: int, h: int, w: int):
             continue
         vmem = ((c * 2 * tr * w * 2 + c * tr * w2 * 2) * 2
                 + c * w * 4 * 6 + w * w2 * 4 * 2)
+        if skip:
+            vmem += c * 2 * tr * w * 2 * 2
         if vmem <= 8 * 2 ** 20:
             return tr
     return None
@@ -234,16 +240,23 @@ def _pool_ct_fwd(x, n, h, w, interpret):
     return y, (x, y)
 
 
-def _pool_ct_bwd(n, h, w, interpret, res, g):
-    x, y = res
+def _pool_bwd_call(g, x, y, gs, n, h, w, interpret):
+    """Equality-mask pool backward on the CT tiling; with ``gs`` (the
+    skip-branch cotangent for the pool INPUT) its add is fused into the
+    same pass — the full-res add_any never exists."""
     c = x.shape[0]
     w2 = w // 2
-    tr = _pool_tr(c, n, h, w)
+    tr = _pool_tr(c, n, h, w, skip=gs is not None)
     up = jnp.zeros((w2, w), jnp.float32)
     up = up.at[jnp.arange(w2), 2 * jnp.arange(w2)].set(1.0)
     up = up.at[jnp.arange(w2), 2 * jnp.arange(w2) + 1].set(1.0)
 
-    def kern(g_ref, x_ref, y_ref, up_ref, gx_ref):
+    def kern(*refs):
+        refs = list(refs)
+        g_ref, x_ref, y_ref = refs[:3]
+        refs = refs[3:]
+        gs_ref = refs.pop(0) if gs is not None else None
+        up_ref, gx_ref = refs
         uv = up_ref[...]
         for k in range(tr):
             yk = y_ref[:, k * w2:(k + 1) * w2].astype(jnp.float32)
@@ -257,33 +270,72 @@ def _pool_ct_bwd(n, h, w, interpret, res, g):
             for r in range(2):
                 lo = (2 * k + r) * w
                 xr = x_ref[:, lo:lo + w].astype(jnp.float32)
-                gx_ref[:, lo:lo + w] = jnp.where(
-                    xr == y_up, g_up, 0.0).astype(gx_ref.dtype)
+                gv = jnp.where(xr == y_up, g_up, 0.0)
+                if gs_ref is not None:
+                    gv = gv + gs_ref[:, lo:lo + w].astype(jnp.float32)
+                gx_ref[:, lo:lo + w] = gv.astype(gx_ref.dtype)
 
     n_blocks = (n * h) // (2 * tr)
-    gx = pl.pallas_call(
+    half_spec = pl.BlockSpec((c, tr * w2), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    in_specs = [half_spec, full_spec, half_spec]
+    operands = [g, x, y]
+    if gs is not None:
+        in_specs.append(full_spec)
+        operands.append(gs)
+    in_specs.append(pl.BlockSpec((w2, w), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(up)
+    return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((c, tr * w2), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, tr * w2), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w2, w), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((c, 2 * tr * w), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=full_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-        name=f"maxpool_ct_bwd_c{c}_w{w}",
-    )(g, x, y, up)
-    return (gx,)
+        name=f"maxpool_ct_bwd{'s' if gs is not None else ''}_c{c}_w{w}",
+    )(*operands)
+
+
+def _pool_ct_bwd(n, h, w, interpret, res, g):
+    x, y = res
+    return (_pool_bwd_call(g, x, y, None, n, h, w, interpret),)
 
 
 max_pool2x2_ct.defvjp(_pool_ct_fwd, _pool_ct_bwd)
+
+
+def pool_skip_ct_supported(c: int, n: int, h: int, w: int) -> bool:
+    return (pool_ct_supported(c, n, h, w)
+            and _pool_tr(c, n, h, w, skip=True) is not None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def max_pool2x2_skip_ct(x, n, h, w, interpret):
+    """(pooled, skip=x) pair for a tensor that feeds BOTH a 2x2 max pool
+    and a skip connection (the Down block's DoubleConv output, reference
+    components.py:44-49 + model.py's U-Net skips).  Forward is the plain
+    pool plus an identity; the value is the backward: the skip branch's
+    cotangent streams into the pool-backward kernel and the full-res
+    cotangent add_any (3 HBM passes over [C, N*H*W] at the flagship
+    encoder) never materializes."""
+    return max_pool2x2_ct(x, n, h, w, interpret), x
+
+
+def _pool_skip_fwd(x, n, h, w, interpret):
+    y = max_pool2x2_ct(x, n, h, w, interpret)
+    return (y, x), (x, y)
+
+
+def _pool_skip_bwd(n, h, w, interpret, res, gs):
+    x, y = res
+    g_pool, g_skip = gs
+    return (_pool_bwd_call(g_pool, x, y, g_skip, n, h, w, interpret),)
+
+
+max_pool2x2_skip_ct.defvjp(_pool_skip_fwd, _pool_skip_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -434,6 +434,43 @@ class TestPoolCT:
         np.testing.assert_array_equal(np.asarray(g_ref, np.float32),
                                       np.asarray(g_new, np.float32))
 
+    def test_pool_skip_fused_backward_matches_unfused(self):
+        """max_pool2x2_skip_ct routes the skip cotangent through the pool
+        backward kernel; its gradient must equal pool-grad + skip-grad.
+        In f32 both orders are exact (bitwise); in bf16 the fused form
+        rounds once instead of twice (tolerance one ulp)."""
+        from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool2x2_ct,
+                                                      max_pool2x2_skip_ct,
+                                                      pool_skip_ct_supported)
+
+        c, n, h, w = 8, 3, 8, 256
+        assert pool_skip_ct_supported(c, n, h, w)
+        key = jax.random.key(3)
+        wts_p = jax.random.normal(jax.random.key(4),
+                                  (c, n * (h // 2) * (w // 2)))
+        wts_s = jax.random.normal(jax.random.key(5), (c, n * h * w))
+
+        def loss_fused(v):
+            p, s = max_pool2x2_skip_ct(v, n, h, w, True)
+            return jnp.sum(p.astype(jnp.float32) * wts_p) + jnp.sum(
+                s.astype(jnp.float32) * wts_s)
+
+        def loss_unfused(v):
+            p = max_pool2x2_ct(v, n, h, w, True)
+            return jnp.sum(p.astype(jnp.float32) * wts_p) + jnp.sum(
+                v.astype(jnp.float32) * wts_s)
+
+        xf = jax.random.normal(key, (c, n * h * w), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(jax.grad(loss_fused)(xf)),
+            np.asarray(jax.grad(loss_unfused)(xf)))
+
+        xb = xf.astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fused)(xb), np.float32),
+            np.asarray(jax.grad(loss_unfused)(xb), np.float32),
+            rtol=2e-2, atol=1e-2)
+
 
 class TestDxFold:
     def test_fold_matches_external_slice_add_fold_bitwise(self):
