@@ -83,6 +83,11 @@ def add_trainer_args(parser: ArgumentParser, project: str, max_epochs: int = 100
                              "multi-device meshes pin per-device row shards "
                              "and sample shard-locally (DistributedSampler "
                              "semantics; see data/core.py DeviceDataset).")
+    parser.add_argument("--host_chunk", type=int, default=1,
+                        help="Host-fed path: upload this many batches per "
+                             "device transfer and slice on-device, "
+                             "amortizing relay per-upload serialization "
+                             "(for datasets too big for --device_cache).")
     return parser
 
 
@@ -172,6 +177,7 @@ def run_training(
         num_devices=args.num_devices,
         seed=args.seed,
         device_cache=getattr(args, "device_cache", False),
+        host_chunk=getattr(args, "host_chunk", 1),
     )
     try:
         state = trainer.fit(resume=args.resume)

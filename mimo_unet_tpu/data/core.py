@@ -264,6 +264,7 @@ def prefetch_to_device(
     *,
     size: int = 2,
     sharding=None,
+    chunk: int = 1,
 ) -> Iterator[Batch]:
     """Overlap host batch assembly with device compute.
 
@@ -274,8 +275,18 @@ def prefetch_to_device(
     NOT done in the producer thread: some PJRT backends (e.g. the axon
     remote-compile relay used on single-chip TPU testbeds) deadlock when a
     device_put races a compile on another thread.
+
+    ``chunk``: upload ``chunk`` batches as ONE ``device_put`` and yield
+    on-device slices.  On relay-backed testbeds the per-transfer cost is
+    dominated by round-trip serialization with execution, not bytes
+    (docs/PERFORMANCE.md round 4: 22 ms for a 19 MiB put against a
+    ~176 ms/step host-fed gap), so fewer, bigger uploads amortize it by
+    ``1/chunk``.  Trailing batches whose count doesn't fill a chunk are
+    uploaded as a smaller chunk.  The per-step device-side slice is one
+    batch-sized copy (memory-speed).  Batches inside a chunk must share
+    shapes (the dataloaders' drop_last handles ragged tails).
     """
-    q: "queue.Queue" = queue.Queue(maxsize=size)
+    q: "queue.Queue" = queue.Queue(maxsize=max(size, chunk))
     _END = object()
 
     def producer():
@@ -289,16 +300,46 @@ def prefetch_to_device(
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, Exception):
-            raise item
-        yield {
-            k: (jax.device_put(v, sharding) if sharding is not None else jax.device_put(v))
-            for k, v in item.items()
+
+    def _put(host):
+        return {
+            k: (jax.device_put(v, sharding)
+                if sharding is not None else jax.device_put(v))
+            for k, v in host.items()
         }
+
+    if chunk <= 1:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield _put(item)
+        return
+
+    pend: list = []
+    done = False
+    while not done:
+        while len(pend) < chunk:
+            item = q.get()
+            if item is _END:
+                done = True
+                break
+            if isinstance(item, Exception):
+                raise item
+            pend.append(item)
+        if not pend:
+            return
+        k0 = next(iter(pend[0]))
+        sizes = [len(p[k0]) for p in pend]
+        dev = _put({k: np.concatenate([p[k] for p in pend], axis=0)
+                    for k in pend[0]})
+        off = 0
+        for n in sizes:
+            yield {k: v[off:off + n] for k, v in dev.items()}
+            off += n
+        pend = []
 
 
 class DataModule:

@@ -1234,18 +1234,45 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, cnt_full,
     xup_ct = jnp.transpose(x_up.astype(cdt), (3, 0, 1, 2))
     if c_up_a != c_up:
         xup_ct = jnp.pad(xup_ct, ((0, c_up_a - c_up), (0, 0), (0, 0), (0, 0)))
-    from mimo_unet_tpu.ops.pallas.ct_resize import (upsample2x_ct,
-                                                    upsample2x_ct_supported)
+    from mimo_unet_tpu.ops.pallas.ct_resize import (
+        lerp_h2x_transpose_supported, upsample2x_ct, upsample2x_ct_supported,
+        upsample_w2x_ct, upsample_w2x_ct_supported)
     xup_flat = xup_ct.reshape(c_up_a, -1)
-    if upsample2x_ct_supported(c_up_a, b, h2, w2):
+
+    up4 = dec_p["up4"]["conv"]
+    mid_c = up4["conv1"]["w"].shape[4]
+    import os
+
+    # x2_half_h for TRAIN is a measured net loss on this testbed
+    # (flagship B=128: 505.5 -> 499.3 img/s — the fwd/dw staging lerps
+    # plus the backward's extra half-H full-W intermediate outweigh the
+    # ~1.5 saved forward passes; docs/PERFORMANCE.md round 4).  The
+    # kernel capability stays (bitwise parity-tested, and the eval path
+    # shares the staging math) but the train gate is opt-in.
+    half_want = os.environ.get("MIMO_CT_TRAIN_X2_HALF", "0") != "0"
+    th_hh = (pick_th_train(h, w, fa, c_up_a, mid_c, prologue=False,
+                           x2_half_h=True) if half_want else None)
+    half_ok = half_want and (
+        th_hh is not None
+        and upsample_w2x_ct_supported(c_up_a, b * h2, w2)
+        and lerp_h2x_transpose_supported(c_up_a, b, h2, w))
+    if half_ok:
+        from mimo_unet_tpu.ops.pallas.ct_train import pick_th_kind
+        half_ok = pick_th_kind("dw", h, w, fa, c_up_a, mid_c,
+                               prologue=False, x2_half_h=True) is not None
+    if half_ok:
+        # only the cheap W-half runs as a standalone pass (half-res
+        # rows); the H row lerp is staged inside the train fwd/dw
+        # kernels (x2_half_h) and the backward H-transposes the
+        # full-res cotangent — the full-res upsampled tensor never
+        # exists in HBM (saves its write + two full-res reads)
+        xup_ct = upsample_w2x_ct(xup_flat, b * h2, w2, interpret)
+    elif upsample2x_ct_supported(c_up_a, b, h2, w2):
         # one Pallas pass each way; the matmul-einsum form costs ~14 ms
         # of the B=128 flagship step in XLA layout copies
         xup_ct = upsample2x_ct(xup_flat, b, h2, w2, interpret)
     else:
         xup_ct = _upsample_ct_x2(xup_flat, b, h2, w2)
-
-    up4 = dec_p["up4"]["conv"]
-    mid_c = up4["conv1"]["w"].shape[4]
 
     def pack_dec(wg):
         skip_blk = widen(wg[:, :, :f], f, fa, mid_c)
@@ -1255,9 +1282,11 @@ def _dec_train_local(dec_p, dec_s, x1s5, x_up, k_dec, *, cfg, cnt_full,
     w5p = jnp.stack([pack_dec(up4["conv1"]["w"][g]) for g in range(s)])
     y5, s5, q5 = conv3x3_ct_train(
         x1s, xup_ct, w5p.astype(cdt), None, None,
-        h, w, pick_th_train(h, w, fa, c_up_a, mid_c, prologue=False),
+        h, w,
+        th_hh if half_ok else pick_th_train(h, w, fa, c_up_a, mid_c,
+                                            prologue=False),
         fa, c_up_a, mid_c, b,
-        interpret)
+        interpret, half_ok)
     s5, q5 = _psum_stats(s5, q5, axis)
     sc5, sh5, new_dec["up4"]["conv"]["bn1"] = _bn_affine_from_stats(
         s5, q5, cnt_full, up4["conv1"]["b"], up4["bn1"],

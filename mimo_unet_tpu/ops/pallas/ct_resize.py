@@ -283,6 +283,82 @@ def _w2x_bwd_call(g, rows, w2, dtype, interpret):
     )(g, mw.astype(g.dtype))
 
 
+def lerp_h2x_transpose_supported(c: int, n: int, h2: int, w: int) -> bool:
+    thh = _pick_thh(h2)
+    if w % 128 != 0 or h2 % 2 != 0 or thh is None:
+        return False
+    vmem = (c * (2 * thh + 2 + 5) * w * 2 * 2  # full-res slab (dbuf)
+            + c * thh * w * 2 * 2)             # half-H out block (dbuf)
+    return vmem <= 12 * 2 ** 20
+
+
+def lerp_h2x_transpose_ct(g, n, h2, w, dtype=None, interpret=None):
+    """Transpose of the H-half row lerp alone: full-res cotangent
+    [c, n*(2*h2)*w] -> half-height [c, n*h2*w] (w is the FULL width —
+    the W-half transpose is its consumer's job, upsample_w2x_ct's VJP).
+
+    Same tap math as _up2_bwd_call (each half row accumulates its <=5
+    contributing full-res rows with the transposed align-corners lerp
+    weights); used by conv3x3_ct_train(x2_half_h=True)'s backward, where
+    the conv kernels consumed the half-H slab directly (reference
+    components.py:78 Upsample splits as W-dot then row lerp)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    c = g.shape[0]
+    h = 2 * h2
+    thh = _pick_thh(h2)
+    tpi = h2 // thh
+    n_tiles = n * tpi
+    ntap = 5
+
+    def g_map(i):
+        i_loc = i % tpi
+        img = i // tpi
+        base = jnp.maximum(i_loc * thh * 2 - 3, 0)
+        base = jnp.minimum(base, h - (2 * thh + 2 + ntap))
+        return (0, pl.multiple_of((img * h + base) * w, 128))
+
+    def kern(g_ref, dx_ref):
+        i = pl.program_id(0)
+        i_loc = i % tpi
+        base = jnp.maximum(i_loc * thh * 2 - 3, 0)
+        base = jnp.minimum(base, h - (2 * thh + 2 + ntap))
+        for j in range(thh):
+            r_half = i_loc * thh + j
+            v = jnp.zeros((c, w), jnp.float32)
+            r0 = 2 * r_half - 2
+            for t in range(ntap):
+                r = r0 + t
+                rc = jnp.clip(r, 0, h - 1)
+                num = rc * (h2 - 1)
+                lo = jnp.minimum(num // (h - 1), h2 - 2)
+                f = ((num - lo * (h - 1)).astype(jnp.float32)
+                     / float(h - 1))
+                wt = jnp.where(lo == r_half, 1.0 - f,
+                               jnp.where(lo + 1 == r_half, f, 0.0))
+                wt = jnp.where((r >= 0) & (r <= h - 1), wt, 0.0)
+                sl = jnp.maximum(rc - base, 0)
+                row = g_ref[:, pl.ds(pl.multiple_of(sl * w, 128), w)]
+                v = v + wt * row.astype(jnp.float32)
+            dx_ref[:, j * w:(j + 1) * w] = v.astype(dx_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        name=f"uph2_ct_bwd_c{c}_w{w}",
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(c),
+                 pl.Element((2 * thh + 2 + ntap) * w, padding=(0, 3 * w))),
+                g_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, thh * w), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, n * h2 * w), dtype or g.dtype),
+        interpret=interpret,
+    )(g)
+
+
 def _w2x_fwd_rule(x, rows, w2, interpret):
     return _w2x_fwd_call(x, rows, w2, interpret), None
 

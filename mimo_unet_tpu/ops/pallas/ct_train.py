@@ -63,13 +63,18 @@ from mimo_unet_tpu.ops.pallas.ct_conv import (
 
 
 def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                      interpret):
+                      interpret, x2_half=0):
     """Single 3x3 reflect conv over th output rows; col part dy position
-    p (of th) holds input flat row i*th - 1 + dy + p."""
+    p (of th) holds input flat row i*th - 1 + dy + p.
+
+    ``x2_half``: H/2 — x2 arrives at half height with only the W-half of
+    its bilinear x2 upsample applied; the H row lerp is staged in VMEM
+    (same math as fused_double_conv_ct(x2_half_h), ct_conv.py)."""
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     oa = align8(o)
+    h = tpi * th
 
     def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
         def z_of(v):
@@ -116,6 +121,8 @@ def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
         refs = list(refs)
         x1_ref = refs.pop(0)
         x2_ref = refs.pop(0) if c2 else None
+        if x2_half:
+            x2s = refs.pop()
         w_ref, sc_ref, sh_ref, y_ref, sum_ref, ssq_ref, col, ys = refs
         i = pl.program_id(0)
         first_img = (i % tpi) == 0
@@ -128,6 +135,10 @@ def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
                 col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
                     (c1a - c1, th * w), col.dtype)
         if c2:
+            if x2_half:
+                _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
+                               bt2=bt2, h=h, h2=x2_half)
+                x2_ref = x2s
             build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
                   sc_ref, sh_ref)
             if c2a > c2:
@@ -176,6 +187,45 @@ def _x_spec(c, th, w, period_tiles):
     )
 
 
+def _x2_half_spec(c, th, w, tpi, bt2, h, h2):
+    """Half-height x2 slab: the (th/2+6)-row window whose rows lerp into
+    the tile's (th+8) full-res ext rows (same window math as the eval
+    kernel's x2_map, ct_conv.py fused_double_conv_ct)."""
+
+    def x2_map(i):
+        pos = i % bt2
+        i_loc = pos % tpi
+        img = pos // tpi
+        base = jnp.maximum((i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
+        return (0, pl.multiple_of((img * h2 + base) * w, 128))
+
+    return pl.BlockSpec(
+        (pl.Element(c), pl.Element((th // 2 + 6) * w, padding=(0, 8 * w))),
+        x2_map, memory_space=pltpu.VMEM)
+
+
+def _stage_x2_half(x2_ref, x2s, i, *, th, w, tpi, bt2, h, h2):
+    """Fill ``x2s`` with the tile's (th+8) full-res ext rows by row-lerping
+    the half-height W-upsampled slab (align-corners weights from exact
+    integer scalars — identical rounding to upsample2x_ct's forward, so
+    the composed path is bitwise-equal to feeding the full-res tensor)."""
+    pos = i % bt2
+    i_loc = pos % tpi
+    r_start = jnp.where(pos == 0, 0, i_loc * th - 4)
+    base = jnp.maximum((i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
+    for j in range(th + 8):
+        r = jnp.clip(r_start + j, 0, h - 1)
+        num = r * (h2 - 1)
+        lo = jnp.minimum(num // (h - 1), h2 - 2)
+        f = (num - lo * (h - 1)).astype(jnp.float32) / float(h - 1)
+        sl = lo - base
+        a = x2_ref[:, pl.ds(pl.multiple_of(sl * w, 128), w)]
+        b = x2_ref[:, pl.ds(pl.multiple_of((sl + 1) * w, 128), w)]
+        x2s[:, j * w:(j + 1) * w] = (
+            a.astype(jnp.float32) * (1.0 - f)
+            + b.astype(jnp.float32) * f).astype(x2s.dtype)
+
+
 def _gspec(shape, gt):
     return pl.BlockSpec(
         (None,) + shape, lambda i: (i // gt,) + (0,) * len(shape),
@@ -183,7 +233,7 @@ def _gspec(shape, gt):
 
 
 def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
-              prologue, interpret):
+              prologue, interpret, x2_half_h=False):
     total = x1.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -193,14 +243,20 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     c1a = align8(c1)
     cp = c1a + (align8(c2) if c2 else 0)
     bt2 = (n2_images * tpi) if c2 else 1
+    h2 = h // 2
     kern = _fwd_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
-        prologue=prologue, out_dtype=x1.dtype, interpret=interpret)
+        prologue=prologue, out_dtype=x1.dtype, interpret=interpret,
+        x2_half=h2 if (c2 and x2_half_h) else 0)
 
     in_specs = [_x_spec(c1, th, w, n_tiles)]
     operands = [x1]
     if c2:
-        in_specs.append(_x_spec(c2, th, w, bt2))
+        if x2_half_h:
+            assert x2.shape[1] == n2_images * h2 * w
+            in_specs.append(_x2_half_spec(c2, th, w, tpi, bt2, h, h2))
+        else:
+            in_specs.append(_x_spec(c2, th, w, bt2))
         operands.append(x2)
     in_specs += [
         _gspec(wp.shape[1:], gt),
@@ -211,7 +267,8 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
     y, s, q = pl.pallas_call(
         kern,
-        name=f"tr_fwd_c{c1}x{c2}o{o}_th{th}w{w}",
+        name=f"tr_fwd_c{c1}x{c2}o{o}_th{th}w{w}"
+             f"{'hh' if (c2 and x2_half_h) else ''}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
@@ -230,7 +287,8 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
         scratch_shapes=[
             pltpu.VMEM((3 * cp, th * w), x1.dtype),
             pltpu.VMEM((3 * oa, th * w), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
+             if (c2 and x2_half_h) else []),
         interpret=interpret,
     )(*operands)
     return y, s[:, :o, 0], q[:, :o, 0]
@@ -582,11 +640,13 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
 # backward: dw
 
 
-def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
+def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
+                     x2_half=0):
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     oa = align8(o)
+    h = tpi * th
 
     def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
         def z_of(v):
@@ -630,6 +690,8 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
         refs = list(refs)
         x1_ref = refs.pop(0)
         x2_ref = refs.pop(0) if c2 else None
+        if x2_half:
+            x2s = refs.pop()
         g_ref, sc_ref, sh_ref, dw_ref, col, gv = refs
         i = pl.program_id(0)
         first_img = (i % tpi) == 0
@@ -642,6 +704,10 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
                 col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
                     (c1a - c1, th * w), col.dtype)
         if c2:
+            if x2_half:
+                _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
+                               bt2=bt2, h=h, h2=x2_half)
+                x2_ref = x2s
             build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
                   sc_ref, sh_ref)
             if c2a > c2:
@@ -677,7 +743,7 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret):
 
 
 def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
-             prologue, interpret):
+             prologue, interpret, x2_half_h=False):
     """Returns dwp [G, 3cp, 3oa] f32 (packed layout, same as pack_w3x3...
     but with dx blocks along columns in units of align8(o))."""
     total = g.shape[1]
@@ -689,14 +755,20 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     grp = scale.shape[0]
     gt = n_tiles // grp
     bt2 = (n2_images * tpi) if c2 else 1
+    h2 = h // 2
     kern = _dw_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
-        prologue=prologue, interpret=interpret)
+        prologue=prologue, interpret=interpret,
+        x2_half=h2 if (c2 and x2_half_h) else 0)
 
     in_specs = [_x_spec(c1, th, w, n_tiles)]
     operands = [x1]
     if c2:
-        in_specs.append(_x_spec(c2, th, w, bt2))
+        if x2_half_h:
+            assert x2.shape[1] == n2_images * h2 * w
+            in_specs.append(_x2_half_spec(c2, th, w, tpi, bt2, h, h2))
+        else:
+            in_specs.append(_x_spec(c2, th, w, bt2))
         operands.append(x2)
     in_specs += [
         pl.BlockSpec((oa, th * w), lambda i: (0, i),
@@ -708,7 +780,8 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
     dwp = pl.pallas_call(
         kern,
-        name=f"tr_dw_c{c1}x{c2}o{o}_th{th}w{w}",
+        name=f"tr_dw_c{c1}x{c2}o{o}_th{th}w{w}"
+             f"{'hh' if (c2 and x2_half_h) else ''}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((None, 3 * cp, 3 * oa),
@@ -718,14 +791,15 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
         scratch_shapes=[
             pltpu.VMEM((3 * cp, th * w), x1.dtype),
             pltpu.VMEM((3 * oa, th * w), x1.dtype),
-        ],
+        ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
+             if (c2 and x2_half_h) else []),
         interpret=interpret,
     )(*operands)
     return dwp
 
 
 def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
-                        o: int) -> int:
+                        o: int, x2_half_h: bool = False) -> int:
     """Rough scoped-VMEM bytes for one train kernel at tile height ``th``.
     The dx backward kernel dominates: its f32 plane scratch spans 3*cp
     rows of (th+2)*w lanes, plus double-buffered in/out slabs.  (Measured
@@ -755,11 +829,22 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
             base += align8(c2) * th * w * 4 - 2 * cp * th * w * 2
         return base
     temps = 3 * oa * th * w * 4  # combine/stats vector temporaries (f32)
+    c2a = align8(c2) if c2 else 0
+    if x2_half_h and c2:
+        # x2 slab halves (th/2+6 of th+8 rows) but adds the full-res lerp
+        # staging scratch plus its f32 lerp temporaries (~2 planes) —
+        # same accounting as ct_conv.estimate_vmem(x2_half_h)
+        slabs = (2 * (cp - c2a) * (th + 6) * w * 2
+                 + 2 * c2a * (th // 2 + 6) * w * 2
+                 + c2a * (th + 8) * w * 2)
+        temps += 2 * c2a * w * 4
+    else:
+        slabs = 2 * cp * (th + 6) * w * 2
     if kind == "fwd":
         return (3 * cp * th * w * 2 + 3 * oa * th * w * 4
-                + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
+                + slabs + 2 * oa * th * w * 2 + temps)
     return (3 * cp * th * w * 2 + 3 * oa * th * w * 2
-            + 2 * cp * (th + 6) * w * 2 + 2 * oa * th * w * 2 + temps)
+            + slabs + 2 * oa * th * w * 2 + temps)
 
 
 def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
@@ -781,7 +866,7 @@ _TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
 
 
 def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
-                      o: int, prologue: bool):
+                      o: int, prologue: bool, x2_half_h: bool = False):
     """(fn, ShapeDtypeStruct args) for compile-probing one train kernel.
 
     Probe shapes are batch-minimal (2 groups, one image per group, one
@@ -801,20 +886,22 @@ def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
     n2_total = h * w
     S = jax.ShapeDtypeStruct
     x1 = S((c1, total), bf)
-    x2 = S((c2, n2_total), bf) if c2 else None
+    x2 = S((c2, n2_total // 2 if x2_half_h else n2_total), bf) if c2 else None
     sc = S((grp, cp, 1), f32)
     sh = S((grp, cp, 1), f32)
     if kind == "fwd":
         wp = S((grp, 3 * cp, 3 * oa), f32)
         fn = functools.partial(
             _conv_fwd, h=h, w=w, th=th, c1=c1, c2=c2, o=o,
-            n2_images=1 if c2 else 0, prologue=prologue, interpret=False)
+            n2_images=1 if c2 else 0, prologue=prologue, interpret=False,
+            x2_half_h=x2_half_h)
         return fn, (x1, x2, wp, sc, sh)
     if kind == "dw":
         g = S((oa, total), bf)
         fn = functools.partial(
             _conv_dw, h=h, w=w, th=th, c1=c1, c2=c2, o=o,
-            n2_images=1 if c2 else 0, prologue=prologue, interpret=False)
+            n2_images=1 if c2 else 0, prologue=prologue, interpret=False,
+            x2_half_h=x2_half_h)
         return fn, (g, x1, x2, sc, sh)
     # dx family
     g = S((oa, total), bf)
@@ -833,19 +920,22 @@ def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
 
 
 def _probe_ok(kind: str, th: int, w: int, c1: int, c2: int, o: int,
-              prologue: bool) -> bool:
+              prologue: bool, x2_half_h: bool = False) -> bool:
     from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
 
     if not probing_enabled():
         return True
-    key = f"tr:{kind}:th{th}:w{w}:c{c1}x{c2}o{o}:p{int(prologue)}"
+    key = (f"tr:{kind}:th{th}:w{w}:c{c1}x{c2}o{o}:p{int(prologue)}"
+           f"{':hh1' if x2_half_h else ''}")
     return probe_fits(
-        key, lambda: _probe_build_kind(kind, th, w, c1, c2, o, prologue))
+        key, lambda: _probe_build_kind(kind, th, w, c1, c2, o, prologue,
+                                       x2_half_h))
 
 
 def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
                  budget: int = 15 * 2 ** 20, *,
-                 prologue: bool = True) -> Optional[int]:
+                 prologue: bool = True, x2_half_h: bool = False
+                 ) -> Optional[int]:
     """Deepest tile height of ``kind``'s ladder that divides ``h``, fits
     the scoped-VMEM estimate, AND (on TPU) compile-probes clean.
 
@@ -855,16 +945,19 @@ def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
     perf but can no longer ship a kernel that fails to compile
     (VERDICT r3 item 2; two rounds of estimator-miss OOMs before it)."""
     for th in _TH_LADDER[kind]:
+        if x2_half_h and not (h % 2 == 0 and th // 2 + 6 <= h // 2):
+            continue
         if h % th == 0 and _estimate_vmem_kind(
-                kind, th, w, c1, c2, o) <= budget:
-            if _probe_ok(kind, th, w, c1, c2, o, prologue):
+                kind, th, w, c1, c2, o, x2_half_h) <= budget:
+            if _probe_ok(kind, th, w, c1, c2, o, prologue, x2_half_h):
                 return th
     return None
 
 
 def pick_th_kind_forced(kind: str, h: int, w: int, c1: int, c2: int,
                         o: int, th_cap: int, *,
-                        prologue: bool = True) -> int:
+                        prologue: bool = True,
+                        x2_half_h: bool = False) -> int:
     """Fallback when the estimator rejects the whole ladder: the largest
     dividing rung <= min(th_cap, 16) that compile-probes clean.  Off-TPU
     this keeps the historical ``min(th_cap, 16)`` choice (ADVICE r3: the
@@ -876,7 +969,7 @@ def pick_th_kind_forced(kind: str, h: int, w: int, c1: int, c2: int,
         return cap
     for th in _TH_LADDER[kind]:
         if th <= cap and h % th == 0 and _probe_ok(
-                kind, th, w, c1, c2, o, prologue):
+                kind, th, w, c1, c2, o, prologue, x2_half_h):
             return th
     raise RuntimeError(
         f"no CT train {kind} tile compiles for w={w}, c1={c1}, c2={c2}, "
@@ -886,11 +979,13 @@ def pick_th_kind_forced(kind: str, h: int, w: int, c1: int, c2: int,
 
 def pick_th_train(h: int, w: int, c1: int, c2: int, o: int,
                   budget: int = 15 * 2 ** 20, *,
-                  prologue: bool = True) -> Optional[int]:
+                  prologue: bool = True,
+                  x2_half_h: bool = False) -> Optional[int]:
     """Forward-kernel tile height (also the feasibility probe used by the
     fast-path gates: whenever the fwd kernel fits, the dx/dw ladders reach
     a fitting tile too — their th=4 footprints are strictly smaller)."""
-    return pick_th_kind("fwd", h, w, c1, c2, o, budget, prologue=prologue)
+    return pick_th_kind("fwd", h, w, c1, c2, o, budget, prologue=prologue,
+                        x2_half_h=x2_half_h)
 
 
 # ---------------------------------------------------------------------------
@@ -898,9 +993,10 @@ def pick_th_train(h: int, w: int, c1: int, c2: int, o: int,
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def conv3x3_ct_train(x1, x2, wp, scale, shift,
-                     h, w, th, c1, c2, o, n2_images, interpret):
+                     h, w, th, c1, c2, o, n2_images, interpret,
+                     x2_half_h=False):
     """Differentiable train-mode CT conv (see module docstring).
 
     x1 [c1, N*H*W] bf16; x2 optional [c2, N2*H*W] (period N2) or None;
@@ -908,6 +1004,13 @@ def conv3x3_ct_train(x1, x2, wp, scale, shift,
     scale/shift [G, cp, 1] f32 prologue affine (pass scale=None for no
     prologue).  Returns (y_raw [align8(o), N*H*W], sum [G, o], sumsq
     [G, o]).
+
+    ``x2_half_h``: x2 arrives at HALF height [c2, N2*(H/2)*W] with only
+    the W-half of its bilinear x2 upsample applied (upsample_w2x_ct);
+    the H row lerp is staged inside the fwd/dw kernels and the backward
+    H-transposes the full-res x2 cotangent (lerp_h2x_transpose_ct) —
+    the full-res upsampled tensor never exists in HBM.  Requires no
+    prologue and the period-fold dx layout (x2 reps == groups).
     """
     prologue = scale is not None
     if scale is None:
@@ -917,17 +1020,19 @@ def conv3x3_ct_train(x1, x2, wp, scale, shift,
         shift = jnp.zeros((g, cp, 1), jnp.float32)
     return _conv_fwd(x1, x2, wp, scale, shift, h=h, w=w, th=th, c1=c1,
                      c2=c2, o=o, n2_images=n2_images, prologue=prologue,
-                     interpret=interpret)
+                     interpret=interpret, x2_half_h=x2_half_h)
 
 
 def _train_fwd_rule(x1, x2, wp, scale, shift,
-                    h, w, th, c1, c2, o, n2_images, interpret):
+                    h, w, th, c1, c2, o, n2_images, interpret,
+                    x2_half_h=False):
     out = conv3x3_ct_train(x1, x2, wp, scale, shift,
-                           h, w, th, c1, c2, o, n2_images, interpret)
+                           h, w, th, c1, c2, o, n2_images, interpret,
+                           x2_half_h)
     return out, (x1, x2, wp, scale, shift, out[0])
 
 
-def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
+def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret, x2_half_h,
                     res, cot):
     x1, x2, wp, scale, shift, y_raw = res
     dy, dsum, dssq = cot
@@ -987,7 +1092,11 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     # decoder conv1): the kernel sums the x2 cotangent over its tile
     # repetitions in VMEM, so the tiled [c2a, total] cotangent and the
     # external slice-add fold never touch HBM
-    fold_ok = bool(c2) and not prologue and total // x2.shape[1] == grp
+    n2_total = (2 * x2.shape[1] if (c2 and x2_half_h)
+                else (x2.shape[1] if c2 else 0))
+    fold_ok = bool(c2) and not prologue and total // n2_total == grp
+    if x2_half_h:
+        assert fold_ok, "x2_half_h needs no prologue and x2 reps == groups"
     kind_base = "dx_fold" if fold_ok else "dx"
     th_dx = (pick_th_kind(kind_base, h, w, c1, c2, o, prologue=prologue)
              or pick_th_kind_forced(kind_base, h, w, c1, c2, o, th,
@@ -998,14 +1107,16 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
                               prologue=prologue)
         if th_dxs is not None and th_dxs > th_dx:
             th_dx, dx_split = th_dxs, True
-    th_dw = (pick_th_kind("dw", h, w, c1, c2, o, prologue=prologue)
+    th_dw = (pick_th_kind("dw", h, w, c1, c2, o, prologue=prologue,
+                          x2_half_h=x2_half_h)
              or pick_th_kind_forced("dw", h, w, c1, c2, o, th,
-                                    prologue=prologue))
+                                    prologue=prologue,
+                                    x2_half_h=x2_half_h))
     if fold_ok:
         dx1_rows, dx2_rows_f, dsc, dsh = _conv_dx(
             g_eff, None, None, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
             c1=c1, c2=c2, o=o, prologue=False, interpret=interpret,
-            out_dtype=x1.dtype, split=dx_split, fold_n2_total=x2.shape[1])
+            out_dtype=x1.dtype, split=dx_split, fold_n2_total=n2_total)
     else:
         dxcat, dsc, dsh = _conv_dx(
             g_eff, x1p, x2p, wtp, scale_k, shift_k, h=h, w=w, th=th_dx,
@@ -1015,7 +1126,7 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     dwp = _conv_dw(
         g_eff, x1, x2, scale_k, shift_k, h=h, w=w, th=th_dw,
         c1=c1, c2=c2, o=o, n2_images=n2_images, prologue=prologue,
-        interpret=interpret)
+        interpret=interpret, x2_half_h=x2_half_h)
     # dw in packed layout: columns are in units of oa; wp columns are in
     # units of align8(o) == oa with 3 dx blocks — same layout; cast to wp
     dwp = dwp.astype(wp.dtype)
@@ -1023,6 +1134,16 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret,
     if fold_ok:
         dx1 = dx1_rows[:c1]
         dx2 = dx2_rows_f[:c2]
+        if x2_half_h:
+            # transpose of the in-kernel H row lerp: full-res cotangent
+            # -> half-height (the W-half transpose belongs to the
+            # upsample_w2x_ct producer's own VJP)
+            from mimo_unet_tpu.ops.pallas.ct_resize import (
+                lerp_h2x_transpose_ct)
+
+            dx2 = lerp_h2x_transpose_ct(dx2, n2_images, h // 2, w,
+                                        dtype=x2.dtype,
+                                        interpret=interpret)
     else:
         dx1 = dxcat[:c1]
         if c2:

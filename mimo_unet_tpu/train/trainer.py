@@ -49,6 +49,7 @@ class Trainer:
         num_devices: Optional[int] = None,
         seed: int = 42,
         device_cache: bool = False,
+        host_chunk: int = 1,
     ):
         self.task = task
         self.dm = datamodule
@@ -59,6 +60,7 @@ class Trainer:
         self.log_images = log_images
         self.seed = seed
         self.device_cache = device_cache
+        self.host_chunk = host_chunk
         self.mesh = mesh if mesh is not None else make_mesh(num_devices)
         self.logger = logger if logger is not None else TSVLogger(checkpoint_path)
         self.ckpt = CheckpointManager(checkpoint_path, task.hparams())
@@ -178,9 +180,13 @@ class Trainer:
                     seed=self.seed, epoch=epoch,
                 )
             else:
+                # host-fed path; chunk>1 amortizes the relay's per-upload
+                # serialization cost (one device_put per `chunk` steps,
+                # on-device slices after — data/core.py prefetch_to_device)
                 batches = prefetch_to_device(
                     dm.train_batches(epoch, seed=self.seed),
                     sharding=data_shard,
+                    chunk=self.host_chunk,
                 )
             for batch in batches:
                 want_images = (

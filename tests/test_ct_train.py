@@ -472,6 +472,70 @@ class TestPoolCT:
             rtol=2e-2, atol=1e-2)
 
 
+class TestX2HalfH:
+    def test_half_h_matches_full_res_composition(self):
+        """conv3x3_ct_train(x2_half_h=True) fed the W-upsampled half-H
+        slab must equal the full-res composition (upsample2x_ct then the
+        standard kernel) — forward, stats, and every gradient.  Both
+        paths round identically (W-dot f32->bf16, H-lerp f32->bf16, and
+        on the way back H-accum f32->bf16 then the W-transpose dot), so
+        the comparison is bitwise."""
+        from mimo_unet_tpu.ops.pallas.ct_resize import (
+            lerp_h2x_transpose_supported, upsample2x_ct, upsample_w2x_ct,
+            upsample_w2x_ct_supported)
+        from mimo_unet_tpu.ops.pallas.ct_train import pick_th_train
+
+        c1, c2, o, grp, b = 8, 8, 6, 2, 1
+        h, w = 64, 256
+        h2, w2 = h // 2, w // 2
+        assert upsample_w2x_ct_supported(c2, b * h2, w2)
+        assert lerp_h2x_transpose_supported(c2, b, h2, w)
+        th = pick_th_train(h, w, c1, c2, o, prologue=False, x2_half_h=True)
+        assert th is not None
+
+        ks = jax.random.split(jax.random.key(7), 4)
+        x1 = jax.random.normal(
+            ks[0], (c1, grp * b * h * w)).astype(jnp.bfloat16)
+        xh = jax.random.normal(
+            ks[1], (c2, b * h2 * w2)).astype(jnp.bfloat16)
+        cp = align8(c1) + align8(c2)
+        wp = (jax.random.normal(ks[2], (grp, 3 * cp, 3 * align8(o)))
+              * 0.2).astype(jnp.float32)
+        cy = jax.random.normal(ks[3], (align8(o), grp * b * h * w)) * 0.1
+
+        def loss(x1, xh, wp, half):
+            if half:
+                xw = upsample_w2x_ct(xh, b * h2, w2, True)
+                y, s, q = conv3x3_ct_train(
+                    x1, xw, wp, None, None, h, w, th, c1, c2, o, b,
+                    True, True)
+            else:
+                xf = upsample2x_ct(xh, b, h2, w2, True)
+                y, s, q = conv3x3_ct_train(
+                    x1, xf, wp, None, None, h, w, th, c1, c2, o, b,
+                    True, False)
+            return (jnp.sum(y.astype(jnp.float32) * cy)
+                    + 0.5 * jnp.sum(s) + 0.25 * jnp.sum(q)), (y, s, q)
+
+        (lh, outs_h), gh = jax.value_and_grad(
+            lambda *a: loss(*a, True), argnums=(0, 1, 2),
+            has_aux=True)(x1, xh, wp)
+        (lf, outs_f), gf = jax.value_and_grad(
+            lambda *a: loss(*a, False), argnums=(0, 1, 2),
+            has_aux=True)(x1, xh, wp)
+
+        for name, a, bb in (("y", outs_h[0], outs_f[0]),
+                            ("sum", outs_h[1], outs_f[1]),
+                            ("sumsq", outs_h[2], outs_f[2]),
+                            ("dx1", gh[0], gf[0]),
+                            ("dxh", gh[1], gf[1]),
+                            ("dwp", gh[2], gf[2])):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(bb, np.float32),
+                err_msg=name)
+        assert float(lh) == float(lf)
+
+
 class TestDxFold:
     def test_fold_matches_external_slice_add_fold_bitwise(self):
         """The period-fold dx grid (x2 cotangent summed over its tile

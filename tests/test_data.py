@@ -53,6 +53,23 @@ class TestCore:
         assert len(got) == 3
         np.testing.assert_array_equal(np.asarray(got[0]["x"]), [0, 1, 2, 3])
 
+    def test_prefetch_chunked_matches_per_step(self):
+        """chunk>1 uploads several batches per device_put and yields
+        on-device slices; the yielded stream must be identical to the
+        chunk=1 stream, including a ragged final batch (drop_last off)."""
+        ds = ArrayDataset({"x": np.arange(14, dtype=np.float32),
+                           "y": np.arange(14, dtype=np.float32) * 2})
+        ref = list(prefetch_to_device(
+            iterate_batches(ds, 4, drop_last=False)))
+        got = list(prefetch_to_device(
+            iterate_batches(ds, 4, drop_last=False), chunk=3))
+        assert len(got) == len(ref) == 4
+        for r, g in zip(ref, got):
+            assert set(g) == set(r)
+            for k in r:
+                np.testing.assert_array_equal(np.asarray(g[k]),
+                                              np.asarray(r[k]))
+
     def test_prefetch_propagates_errors(self):
         def bad():
             yield {"x": np.zeros(2)}
