@@ -23,6 +23,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 TARGET = 5000.0
 
+# XLA cost-analysis FLOP counts for the flagship graph (docs/PERFORMANCE.md
+# "XLA cost analysis") and the v5e bf16 peak, so every bench line carries
+# sustained TF/s + MFU and rounds are judged against the hardware ceiling,
+# not just each other.
+GFLOP_PER_IMG_INFER = 32.5
+GFLOP_PER_IMG_TRAIN = 97.0
+PEAK_TFLOPS = 197.0  # TPU v5e bf16
+
+
+def _mfu(images_per_sec: float, gflop_per_img: float) -> dict:
+    tf = images_per_sec * gflop_per_img / 1e3
+    return {"sustained_tflops": round(tf, 1),
+            "mfu": round(tf / PEAK_TFLOPS, 4)}
+
 
 def _emit(payload):
     print(json.dumps(payload), flush=True)
@@ -125,6 +139,7 @@ def main():
                 "value": round(best, 1),
                 "unit": f"patches/sec/chip (best batch={best_bs}, bf16)",
                 "vs_baseline": round(best / TARGET, 4),
+                **_mfu(best, GFLOP_PER_IMG_INFER),
             }
         )
 
@@ -171,6 +186,7 @@ def main():
                 "value": round(train_best, 1),
                 "unit": f"patches/sec/chip (fwd+bwd+opt, best batch={train_best_bs}, bf16)",
                 "vs_baseline": round(train_best / TARGET, 4),
+                **_mfu(train_best, GFLOP_PER_IMG_TRAIN),
             }
         )
 
@@ -218,7 +234,7 @@ def main():
         real_bs = 16
         rngk = jax.random.key(0)
 
-        def run_epoch(epoch):
+        def run_epoch(epoch, chunk=1):
             t0 = time.perf_counter()
             seen = 0
             logs = None
@@ -226,7 +242,8 @@ def main():
                 iterate_batches(
                     real_ds, real_bs, shuffle=True, drop_last=True,
                     seed=0, epoch=epoch,
-                )
+                ),
+                chunk=chunk,
             )
             st = run_epoch.state
             for batch in batches:
@@ -238,7 +255,12 @@ def main():
 
         run_epoch.state = jax.device_put(task.init_state(steps_per_epoch=1000))
         run_epoch(0)  # compile + warm
-        host_fed_tput = max(run_epoch(e) for e in (1, 2, 3))
+        host_fed_runs = [run_epoch(e) for e in (1, 2, 3)]
+        host_fed_tput = max(host_fed_runs)
+        # chunked uploads (--host_chunk): one device_put per `chunk` steps
+        # amortizes the relay's per-transfer serialization
+        chunked_runs = [run_epoch(e, chunk=8) for e in (4, 5, 6)]
+        host_chunk_tput = max(chunked_runs)
 
         # Device-resident dataset (--device_cache): the whole uint8 train
         # split is staged into HBM once; each step's batch gather happens
@@ -285,6 +307,9 @@ def main():
                 "vs_baseline": round(real_tput * patch_equiv / TARGET, 4),
                 "patch_equiv_per_sec": round(real_tput * patch_equiv, 1),
                 "host_fed_img_per_sec": round(host_fed_tput, 1),
+                "host_fed_runs": [round(v, 1) for v in host_fed_runs],
+                "host_chunk8_img_per_sec": round(host_chunk_tput, 1),
+                "host_chunk8_runs": [round(v, 1) for v in chunked_runs],
             }
         )
 
@@ -300,10 +325,12 @@ def main():
             "value": round(best, 1),
             "unit": f"patches/sec/chip (best batch={best_bs}, bf16)",
             "vs_baseline": round(best / TARGET, 4),
+            **_mfu(best, GFLOP_PER_IMG_INFER),
         }
         if train_res:
             payload["train_patches_per_sec"] = round(train_res[0], 1)
             payload["train_batch"] = train_res[1]
+            payload["train_mfu"] = _mfu(train_res[0], GFLOP_PER_IMG_TRAIN)["mfu"]
         _emit(payload)
 
 

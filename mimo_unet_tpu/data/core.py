@@ -147,15 +147,23 @@ class DeviceDataset:
 
     With ``mesh`` (>1 data-parallel devices), the rows are pinned
     row-SHARDED across the mesh's data axis (per-device shard pinning)
-    and sampling becomes shard-local — the semantics of torch's
-    ``DistributedSampler`` (each rank partitions the wrapped index space
-    and shuffles its partition per epoch), which is what the reference
-    gets from Lightning's multi-GPU DataLoader.  ``gather`` then runs
-    under ``shard_map`` so every device indexes only its own shard (no
+    and sampling becomes shard-local.  This is deliberately NOT torch's
+    ``DistributedSampler`` recipe: torch draws a fresh GLOBAL permutation
+    each epoch and strides it across ranks (each rank's subset and the
+    wrap-pad duplicates change per epoch), which is impossible with rows
+    physically pinned per device.  Instead the wrapped index space
+    [0, ceil(n/D)*D) is randomized ONCE with the base ``seed`` — both
+    which rows are wrap-duplicated and which partition each row lands in
+    — then each shard permutes its fixed partition per epoch
+    (iterate_sharded_index_batches).  Per-step gradients stay unbiased;
+    the difference from torch is that the partition is fixed for the run
+    (docs/MIGRATION.md "Not carried over").  ``gather`` runs under
+    ``shard_map`` so every device indexes only its own shard (no
     cross-device collectives on the sample path).
     """
 
-    def __init__(self, dataset: ArrayDataset, device=None, mesh=None):
+    def __init__(self, dataset: ArrayDataset, device=None, mesh=None,
+                 seed: int = 0):
         self.n = len(dataset)
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is None:
@@ -172,8 +180,14 @@ class DeviceDataset:
 
         d = int(self.mesh.shape[DATA_AXIS])
         self.n_shards = d
-        self.n_local = -(-self.n // d)  # ceil: wrapped DistributedSampler pad
-        wrapped = np.arange(self.n_local * d) % self.n
+        self.n_local = -(-self.n // d)  # ceil: wrapped pad to divisible
+        rng = np.random.default_rng(seed)
+        # randomize which rows get wrap-duplicated, then scatter partition
+        # membership so shards are not dataset-order-contiguous (see class
+        # docstring; the partition itself stays fixed for the run)
+        wrapped = rng.permutation(self.n)[np.arange(self.n_local * d) % self.n]
+        rng.shuffle(wrapped)
+        self.wrapped = wrapped
         sharding = jax.NamedSharding(self.mesh, jax.sharding.PartitionSpec(
             DATA_AXIS))
         self.data = {
@@ -190,17 +204,24 @@ class DeviceDataset:
         return sum(int(np.asarray(v).dtype.itemsize) * int(np.prod(v.shape))
                    for v in self.data.values())
 
-    def gather(self, idx) -> Batch:
+    def gather(self, idx, data=None) -> Batch:
         """On-device batch gather (jit-safe).
 
         Unsharded: idx [B] global rows -> dict of [B, ...].
         Sharded: idx [D, B/D] shard-LOCAL rows (row d for data-device d)
         -> dict of [B, ...] batch-sharded arrays; each device gathers
-        from its own pinned shard only."""
+        from its own pinned shard only.
+
+        ``data`` lets a jitted caller pass the pinned arrays as an
+        explicit operand (so the step's data dependence is visible in its
+        signature rather than captured by closure); defaults to
+        ``self.data``."""
         import jax.numpy as jnp
 
+        if data is None:
+            data = self.data
         if self.mesh is None:
-            return {k: jnp.take(v, idx, axis=0) for k, v in self.data.items()}
+            return {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
         from mimo_unet_tpu.parallel.mesh import DATA_AXIS
 
         P = jax.sharding.PartitionSpec
@@ -213,7 +234,7 @@ class DeviceDataset:
             _local, mesh=self.mesh,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS, None)),
             out_specs=P(DATA_AXIS),
-        )(self.data, idx)
+        )(data, idx)
 
     def index_sharding(self):
         """Sharding for the [D, B/D] per-step index array (None when
@@ -236,10 +257,10 @@ def iterate_sharded_index_batches(
     epoch: int = 0,
 ) -> Iterator[np.ndarray]:
     """Shard-local sampling for a mesh-sharded DeviceDataset: yields
-    [D, B/D] int32 arrays of shard-LOCAL rows.  DistributedSampler
-    semantics (torch.utils.data.distributed): the wrapped index space
-    [0, ceil(n/D)*D) is partitioned contiguously across shards and each
-    shard permutes its partition per epoch; batches are always full
+    [D, B/D] int32 arrays of shard-LOCAL rows.  Each shard permutes its
+    FIXED partition per epoch (the partition was randomized once at
+    DeviceDataset construction — see its docstring for how this differs
+    from torch's per-epoch global repartition); batches are always full
     (drop_last on the per-shard remainder)."""
     assert batch_size % n_shards == 0, (batch_size, n_shards)
     bd = batch_size // n_shards

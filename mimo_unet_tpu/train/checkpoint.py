@@ -55,7 +55,7 @@ def _task_from_hparams(hparams: Dict[str, Any]):
 
 
 def save_checkpoint(path: str, state, hparams: Dict[str, Any],
-                    checkpointer=None) -> None:
+                    checkpointer=None) -> Optional[str]:
     """Write an Orbax checkpoint + hparams.json under ``path``.
 
     With ``checkpointer`` (an ``ocp.AsyncCheckpointer``), the save is
@@ -64,26 +64,57 @@ def save_checkpoint(path: str, state, hparams: Dict[str, Any],
     file write overlaps subsequent train steps — the TPU-native
     equivalent of the reference's non-blocking ModelCheckpoint callback
     (train_nyuv2_depth.py:22-36).  The caller owns
-    ``checkpointer.wait_until_finished()``."""
+    ``checkpointer.wait_until_finished()``.
+
+    hparams.json commits AFTER the state does, never before: a crash
+    mid-async-write must not leave fresh hparams (with e.g. new "best"
+    metadata) next to a stale state dir that a later resume would read as
+    consistent.  Sync saves simply write it after the blocking state
+    write; async saves stage ``hparams.json.pending`` and return its path
+    — the caller promotes it once ``wait_until_finished`` confirms the
+    state commit (CheckpointManager does this).  Returns None for sync
+    saves."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, HPARAMS_FILE), "w") as f:
-        json.dump(hparams, f, indent=2, default=str)
     state_path = os.path.join(path, STATE_DIR)
+    hp_final = os.path.join(path, HPARAMS_FILE)
     if checkpointer is None:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(state_path, state, force=True)
         ckptr.wait_until_finished()
-    else:
-        checkpointer.save(state_path, args=ocp.args.StandardSave(state),
-                          force=True)
+        with open(hp_final, "w") as f:
+            json.dump(hparams, f, indent=2, default=str)
+        return None
+    pending = hp_final + ".pending"
+    with open(pending, "w") as f:
+        json.dump(hparams, f, indent=2, default=str)
+    checkpointer.save(state_path, args=ocp.args.StandardSave(state),
+                      force=True)
+    return pending
+
+
+def _promote_pending_hparams(pending: str) -> None:
+    """Atomically publish a staged hparams file (state commit confirmed)."""
+    if os.path.exists(pending):
+        os.replace(pending, pending[: -len(".pending")])
+
+
+def _read_hparams_file(path: str) -> Dict[str, Any]:
+    """Read hparams.json, falling back to a staged .pending file when the
+    final one is absent (a crash after the state committed but before the
+    pending promote — the state is durable, so the pending hparams
+    describe it)."""
+    final = os.path.join(path, HPARAMS_FILE)
+    if not os.path.exists(final) and os.path.exists(final + ".pending"):
+        final = final + ".pending"
+    with open(final) as f:
+        return json.load(f)
 
 
 def load_hparams(path: str) -> Dict[str, Any]:
-    with open(os.path.join(path, HPARAMS_FILE)) as f:
-        return json.load(f)
+    return _read_hparams_file(os.path.abspath(path))
 
 
 def load_checkpoint(path: str, steps_per_epoch: int = 1):
@@ -145,6 +176,7 @@ class CheckpointManager:
         self.best_val_loss = float("inf")
         self._async = async_save
         self._ckptr = None
+        self._pending_hparams: list = []
         os.makedirs(self.root, exist_ok=True)
 
     def _checkpointer(self):
@@ -160,9 +192,14 @@ class CheckpointManager:
 
     def wait_until_finished(self) -> None:
         """Block until every dispatched async save is durably committed
-        (call before reading a just-written checkpoint or exiting)."""
+        (call before reading a just-written checkpoint or exiting), then
+        publish the staged hparams files (state-commit-first ordering —
+        see save_checkpoint)."""
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
+        for pending in self._pending_hparams:
+            _promote_pending_hparams(pending)
+        self._pending_hparams = []
 
     @property
     def last_path(self) -> str:
@@ -172,17 +209,21 @@ class CheckpointManager:
     def best_path(self) -> str:
         return os.path.join(self.root, "best")
 
+    def _save(self, path: str, state, hparams) -> None:
+        pending = save_checkpoint(path, state, hparams,
+                                  checkpointer=self._checkpointer())
+        if pending is not None:
+            self._pending_hparams.append(pending)
+
     def save_last(self, state) -> None:
-        save_checkpoint(self.last_path, state, self.hparams,
-                        checkpointer=self._checkpointer())
+        self._save(self.last_path, state, self.hparams)
 
     def maybe_save_best(self, state, val_loss: float, epoch: int, step: int) -> bool:
         if val_loss < self.best_val_loss:
             self.best_val_loss = float(val_loss)
             hp = dict(self.hparams)
             hp["best"] = {"epoch": epoch, "step": step, "val_loss": float(val_loss)}
-            save_checkpoint(self.best_path, state, hp,
-                            checkpointer=self._checkpointer())
+            self._save(self.best_path, state, hp)
             return True
         return False
 
@@ -191,10 +232,11 @@ class CheckpointManager:
         maybe_save_best) so resumed runs never regress best/.  Called by the
         trainer on resume only — a fresh fit into a reused directory starts
         tracking from scratch, like a new Lightning ModelCheckpoint."""
-        hp_path = os.path.join(self.best_path, HPARAMS_FILE)
-        if os.path.isfile(hp_path):
-            with open(hp_path) as f:
-                best = json.load(f).get("best", {})
+        if os.path.isdir(os.path.join(self.best_path, STATE_DIR)):
+            try:
+                best = _read_hparams_file(self.best_path).get("best", {})
+            except FileNotFoundError:
+                best = {}
             if "val_loss" in best:
                 self.best_val_loss = float(best["val_loss"])
         return self.best_val_loss

@@ -132,16 +132,17 @@ class Trainer:
 
             dev_ds = DeviceDataset(
                 dm.train_dataset(),
-                mesh=self.mesh if self.mesh.size > 1 else None)
+                mesh=self.mesh if self.mesh.size > 1 else None,
+                seed=self.seed)
             shards = (f" x {dev_ds.n_shards} shards"
                       if dev_ds.n_shards > 1 else "")
             print(f"[trainer] device cache: {len(dev_ds)} items, "
                   f"{dev_ds.nbytes / 1e6:.0f} MB in HBM{shards}")
 
             def _cached_step(with_outputs, state, data, idx, rng):
-                batch = dev_ds.gather(idx) if dev_ds.mesh is not None else {
-                    k: jax.numpy.take(v, idx, axis=0)
-                    for k, v in data.items()}
+                # data flows through the jitted signature (not closure) so
+                # the step's input dependence is explicit on both branches
+                batch = dev_ds.gather(idx, data)
                 return task.train_step(
                     tx, state, batch, rng, with_outputs=with_outputs)
 

@@ -343,8 +343,8 @@ class TestTrainerEndToEnd:
 
     def test_sharded_device_cache_gather_matches_rows(self):
         """Mesh-sharded DeviceDataset: per-device shard pinning with
-        shard-local gather must return exactly the wrapped-partition rows
-        (DistributedSampler semantics)."""
+        shard-local gather must return exactly the pinned-partition rows
+        (the partition is randomized once at construction, then fixed)."""
         from mimo_unet_tpu.data.core import ArrayDataset, DeviceDataset
         from mimo_unet_tpu.parallel.mesh import make_mesh
 
@@ -354,15 +354,23 @@ class TestTrainerEndToEnd:
         ds = ArrayDataset(data)
         dev = DeviceDataset(ds, mesh=mesh)
         assert dev.n_shards == 4 and dev.n_local == 3
+        wrapped = dev.wrapped
+        # every row present; exactly n_local*d - n wrap duplicates
+        assert sorted(set(wrapped.tolist())) == list(range(n))
+        assert len(wrapped) == 12
 
         idx = np.array([[0, 2], [1, 0], [2, 1], [0, 2]], dtype=np.int32)
         got = jax.jit(dev.gather)(idx)["image"]
-        wrapped = np.arange(12) % n
         want = np.concatenate([
             data["image"][wrapped[d * 3:(d + 1) * 3][idx[d]]]
             for d in range(4)
         ])
         np.testing.assert_array_equal(np.asarray(got), want)
+
+        # explicit-operand form (jitted callers pass data through their
+        # signature instead of capturing it)
+        got2 = jax.jit(dev.gather)(idx, dev.data)["image"]
+        np.testing.assert_array_equal(np.asarray(got2), want)
 
     def test_fit_sharded_device_cache_over_mesh(self, tmp_path):
         """--device_cache on a 4-device mesh: per-device shard pinning +
@@ -504,6 +512,10 @@ class TestResumeSemantics:
         mgr = CheckpointManager(str(tmp_path), task.hparams())
         assert mgr.maybe_save_best(state, 0.5, epoch=0, step=1)
         assert not mgr.maybe_save_best(state, 0.7, epoch=1, step=2)
+        # hparams publish only after the state commit (state-commit-first
+        # ordering, ADVICE r4): a reader must wait_until_finished first —
+        # which is what a real resume does (fit() waits before returning)
+        mgr.wait_until_finished()
 
         # a resumed manager must pick up 0.5, not reset to inf
         mgr2 = CheckpointManager(str(tmp_path), task.hparams())
@@ -512,9 +524,8 @@ class TestResumeSemantics:
         assert not mgr2.maybe_save_best(state, 0.7, epoch=2, step=3)
         assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.5
         assert mgr2.maybe_save_best(state, 0.3, epoch=3, step=4)
-        assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.3
-        mgr.wait_until_finished()
         mgr2.wait_until_finished()
+        assert load_hparams(mgr2.best_path)["best"]["val_loss"] == 0.3
 
     def test_fit_resume_equivalence(self, tmp_path):
         """fit(2 epochs) == fit(1) + resume(1): identical params, and best/
