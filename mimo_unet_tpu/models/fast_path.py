@@ -242,13 +242,21 @@ def _pool_ct(x: jax.Array, n: int, h: int, w: int) -> jax.Array:
 def _wpool_ct(x: jax.Array, w: int) -> jax.Array:
     """W-pair max on CT activations [C, rows*W] -> [C, rows*(W/2)].
 
-    Lane compaction via 0/1 selection matmuls (MXU; ~3x faster than
-    reduce_window on this chip — experiments/exp_pool2.py) then an
-    elementwise max.  Exact: selection copies values bit-for-bit."""
+    One-pass Pallas kernel when supported (round 5: the einsum form reads
+    x twice and round-trips both half tensors — 2.0/2.3 ms measured vs
+    ~0.7 attainable, eval roofline); falls back to 0/1 selection matmuls
+    + elementwise max (MXU; ~3x faster than reduce_window on this chip —
+    experiments/exp_pool2.py).  Both exact: selection copies values
+    bit-for-bit."""
     import numpy as np
 
     c, total = x.shape
     rows = total // w
+    from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool_w_ct,
+                                                  wpool_ct_supported)
+
+    if wpool_ct_supported(c, rows, w):
+        return max_pool_w_ct(x, rows, w)
     se = np.zeros((w, w // 2), np.float32)
     se[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
     so = np.zeros((w, w // 2), np.float32)
@@ -378,8 +386,11 @@ def _enc_eval_local(enc_p, enc_s, x, k_enc, *, cfg, mc_dropout, interpret,
             fused_double_conv9_ct, pick_th9)
 
         ic = enc_p["in_conv"]
+        # bf16 transpose (half the relayout + slab bytes of the round-3
+        # f32 form); the kernel upcasts the slab into its f32 column
+        # scratch — same values the XLA path convolves (x.astype(bf16))
         xct9 = jnp.transpose(
-            x.astype(jnp.float32), (4, 1, 0, 2, 3)).reshape(cin, -1)
+            x.astype(cdt), (4, 1, 0, 2, 3)).reshape(cin, -1)
         s1, sh1 = fold_bn_eval(ic["conv1"]["b"], ic["bn1"],
                                enc_s["in_conv"]["bn1"])
         s2, sh2 = fold_bn_eval(ic["conv2"]["b"], ic["bn2"],
@@ -859,9 +870,15 @@ def ct_train_path_supported(
     train: bool,
     mc_dropout: bool,
 ) -> bool:
-    """Train-mode analog of ct_fast_path_supported: additionally requires
-    every dropout rate to be zero (the kernels carry no dropout sites;
-    the reference flagship training config uses none, Readme.md:61-79)."""
+    """Train-mode analog of ct_fast_path_supported.
+
+    Every reference dropout site is supported (since round 4): the
+    spatial ``Dropout2d`` rates (encoder/decoder) fold into per-image
+    BN-affine parameters (``relu(a)*m == relu(a*m)`` for the nonnegative
+    inverted-dropout scale), the core/center sites live in the XLA core,
+    and a live elementwise final dropout takes the unfused decoder
+    out-conv route.  Only ``mc_dropout`` eval-with-dropout forwards are
+    excluded (those go through ct_fast_path_supported instead)."""
     if not train or mc_dropout:
         return False
     if cfg.ct_kernels == "off":

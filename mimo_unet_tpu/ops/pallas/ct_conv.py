@@ -107,40 +107,48 @@ def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
     """
     r1 = th + 2
 
+    def _rd(v):
+        # allow a bf16 slab feeding an f32 column scratch (the nine-tap
+        # kernel rolls on f32 planes but the HBM slab stays bf16 — half
+        # the input DMA bytes; exact upcast)
+        return v if v.dtype == col.dtype else v.astype(col.dtype)
+
     @pl.when(jnp.logical_not(clamped))
     def _():
         for dy in range(3):
-            col[dy * cp + base:dy * cp + base + c] = (
+            col[dy * cp + base:dy * cp + base + c] = _rd(
                 x_ref[:, (2 + dy) * w:(2 + dy + r1) * w])
 
     @pl.when(clamped)
     def _():
         # slab row s = flat row s; copy in-bounds tails (uncovered
         # positions feed only rows that are overwritten below)
-        col[base:base + c, 2 * w:r1 * w] = x_ref[:, 0:(r1 - 2) * w]
-        col[cp + base:cp + base + c, w:r1 * w] = x_ref[:, 0:(r1 - 1) * w]
-        col[2 * cp + base:2 * cp + base + c, 0:r1 * w] = x_ref[:, 0:r1 * w]
+        col[base:base + c, 2 * w:r1 * w] = _rd(x_ref[:, 0:(r1 - 2) * w])
+        col[cp + base:cp + base + c, w:r1 * w] = _rd(
+            x_ref[:, 0:(r1 - 1) * w])
+        col[2 * cp + base:2 * cp + base + c, 0:r1 * w] = _rd(
+            x_ref[:, 0:r1 * w])
 
     # image row -1 (part dy=0 position 1) -> reflect row 1 = flat row
     # i*th + 1 = slab row 5 (clamped: slab row 1)
     @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
     def _():
-        col[base:base + c, w:2 * w] = x_ref[:, 5 * w:6 * w]
+        col[base:base + c, w:2 * w] = _rd(x_ref[:, 5 * w:6 * w])
 
     @pl.when(clamped)
     def _():
-        col[base:base + c, w:2 * w] = x_ref[:, w:2 * w]
+        col[base:base + c, w:2 * w] = _rd(x_ref[:, w:2 * w])
 
     # image row H (part dy=2 position th) -> reflect row H-2 = flat row
     # i*th + th - 2 = slab row th+2 (clamped: slab row th-2)
     @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
     def _():
-        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = (
+        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = _rd(
             x_ref[:, (th + 2) * w:(th + 3) * w])
 
     @pl.when(jnp.logical_and(last_img, clamped))
     def _():
-        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = (
+        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = _rd(
             x_ref[:, (th - 2) * w:(th - 1) * w])
 
 
@@ -385,7 +393,7 @@ def estimate_vmem9(th, w, c1, m, o, emit_hpool=False) -> int:
     col = max(9 * c1a, 3 * ma) * r1w * 2
     ys = (ma + 3 * oa) * r1w * 4
     mid = m * r1w * 2
-    slabs = 2 * c1 * (th + 8) * w * 4
+    slabs = 2 * c1 * (th + 8) * w * 2  # bf16 slab (upcast in VMEM)
     out = 2 * oa * th * w * 2
     temps = 3 * max(ma, oa) * r1w * 4
     hpool = (2 * oa * (th // 2) * w * 2 + oa * th * w * 4
@@ -405,7 +413,7 @@ def _probe_build9(th, w, c1, m, o, emit_hpool):
     fn = functools.partial(
         fused_double_conv9_ct, h=h, w=w, th=th, c1=c1, m=m, o=o,
         emit_hpool=emit_hpool, interpret=False)
-    args = (S((c1, g * h * w), f32), S((g, 3, 3, c1, m), f32),
+    args = (S((c1, g * h * w), jnp.bfloat16), S((g, 3, 3, c1, m), f32),
             S((g, m), f32), S((g, m), f32),
             S((g, 3 * ma, 3 * oa), f32), S((g, o), f32), S((g, o), f32))
     return fn, args
@@ -428,7 +436,7 @@ def pick_th9(h: int, w: int, c1: int, m: int, o: int,
 
 
 def fused_double_conv9_ct(
-    x1f32: jax.Array,
+    x1: jax.Array,
     w1: jax.Array,
     s1: jax.Array,
     sh1: jax.Array,
@@ -447,14 +455,17 @@ def fused_double_conv9_ct(
 ) -> jax.Array:
     """Nine-tap fused DoubleConv for c1 <= 8 (see _make_kernel9).
 
-    x1f32: [c1, N*H*W] f32 CT activations (f32: in-kernel dx rolls)
+    x1:    [c1, N*H*W] CT activations — bf16 preferred (the slab upcasts
+           into the f32 column scratch in VMEM, so the in-kernel dx rolls
+           stay 32-bit while the HBM slab reads half the bytes; an f32
+           input also works)
     w1:    [G, 3, 3, c1, m] raw conv1 weights (packed per group here)
     s1/sh1/s2/sh2: [G, m] / [G, o] folded affines; w2p as pack_w3x3.
     Returns like fused_double_conv_ct (bf16, align8 pads zero).
     """
     if interpret is None:
         interpret = _use_interpret()
-    total = x1f32.shape[1]
+    total = x1.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
     g = w1.shape[0]
@@ -479,7 +490,7 @@ def fused_double_conv9_ct(
 
     in_specs = [x_spec, gspec(w9.shape[1:]), gspec((ma, 1)), gspec((ma, 1)),
                 gspec(w2p.shape[1:]), gspec((oa, 1)), gspec((oa, 1))]
-    operands = [x1f32, w9, _padcol(s1, ma), _padcol(sh1, ma),
+    operands = [x1, w9, _padcol(s1, ma), _padcol(sh1, ma),
                 w2p.astype(jnp.bfloat16), _padcol(s2, oa), _padcol(sh2, oa)]
 
     out_specs = pl.BlockSpec((oa, th * w), lambda i: (0, i),

@@ -160,6 +160,94 @@ def g_eff_ct(dy, y, dsum, dsumsq, o_real, groups, interpret=None):
                       name=f"g_eff_c{o_real}")
 
 
+# input lanes per selection-dot chunk: MXU beats per 128 output lanes
+# scale linearly with the chunk width (K passes), so keep it minimal —
+# 256 in gives 128-lane-aligned output writes at 2 K-passes per dot
+_WPOOL_CW = 256
+
+
+def _wpool_bl(c: int, total: int) -> int:
+    """Output lane block for max_pool_w_ct (input block is 2x).  VMEM:
+    double-buffered in (4*bl*c bytes bf16 with 2x pipelining) + out +
+    per-chunk f32 temps; capped at 8192 to bound the in-kernel chunk
+    unroll (64 iterations)."""
+    bl = 1 << 13
+    while bl > _WPOOL_CW // 2 and (
+            total % bl or c * bl * (8 + 4) + c * _WPOOL_CW * 12
+            > 10 * 2 ** 20):
+        bl >>= 1
+    return bl
+
+
+def wpool_ct_supported(c: int, rows: int, w: int) -> bool:
+    """max_pool_w_ct eligibility: the flat lane stream must pair cleanly
+    within chunk boundaries (w % 128, chunk-divisible total) and a lane
+    block must divide the output."""
+    total = rows * w
+    if w % 128 != 0 or total % _WPOOL_CW != 0:
+        return False
+    bl = _wpool_bl(c, total // 2)
+    return (total // 2) % bl == 0 and bl % (_WPOOL_CW // 2) == 0
+
+
+def max_pool_w_ct(x, rows, w, interpret=None):
+    """W-pair max on CT activations: [C, rows*w] -> [C, rows*(w//2)].
+
+    One memory-speed pass replacing the two-einsum + max ``_wpool_ct``
+    form (eval roofline rows "down1 W-pool" 2.0 ms / "core CT pool"
+    2.3 ms vs 0.7 / 0.6 attainable; the einsum pair reads x twice and
+    round-trips both half tensors through HBM).  The flat-lane view: with
+    even w, out position j (flat) = max(x[2j], x[2j+1]) regardless of row
+    boundaries, so per input chunk two exact 0/1 selection dots (even /
+    odd lanes) + an f32 max compact the pairs — no rolls (bf16 rotates
+    are unsupported), no full-block f32 temporaries, bitwise-equal to
+    reduce_window on the bf16 values.  Forward-only: the eval fast path
+    never differentiates through it (FGSM uses ``ct_disabled``)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    c, total = x.shape
+    assert total == rows * w and wpool_ct_supported(c, rows, w)
+    out_total = total // 2
+    bl = _wpool_bl(c, out_total)
+    cw = _WPOOL_CW
+    je = 2 * jnp.arange(cw // 2)
+    sel_e = jnp.zeros((cw, cw // 2), x.dtype).at[
+        je, jnp.arange(cw // 2)].set(1)
+    sel_o = jnp.zeros((cw, cw // 2), x.dtype).at[
+        je + 1, jnp.arange(cw // 2)].set(1)
+
+    def kern(x_ref, se_ref, so_ref, y_ref):
+        se, so = se_ref[...], so_ref[...]
+        for kc in range(2 * bl // cw):
+            xc = x_ref[:, kc * cw:(kc + 1) * cw]
+            even = jax.lax.dot_general(
+                xc, se, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            odd = jax.lax.dot_general(
+                xc, so, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y_ref[:, kc * (cw // 2):(kc + 1) * (cw // 2)] = (
+                jnp.maximum(even, odd).astype(y_ref.dtype))
+
+    return pl.pallas_call(
+        kern,
+        grid=(out_total // bl,),
+        in_specs=[
+            pl.BlockSpec((c, 2 * bl), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, cw // 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, bl), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, out_total), x.dtype),
+        interpret=interpret,
+        name=f"maxpool_w_ct_c{c}",
+    )(x, sel_e, sel_o)
+
+
 def _pool_tr(c: int, n: int, h: int, w: int, skip: bool = False):
     """Input-row-pair tile count for max_pool2x2_ct (None = no fit).
 

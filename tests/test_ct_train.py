@@ -434,6 +434,27 @@ class TestPoolCT:
         np.testing.assert_array_equal(np.asarray(g_ref, np.float32),
                                       np.asarray(g_new, np.float32))
 
+    def test_wpool_matches_einsum_selection_bitwise(self):
+        """max_pool_w_ct (one-pass W-pair max, round 5) must equal the
+        einsum selection + max form bitwise, including ties — both copy
+        bf16 values exactly through f32 selection dots."""
+        from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool_w_ct,
+                                                      wpool_ct_supported)
+
+        for c, rows, w in ((24, 3 * 16, 256), (96, 2 * 8, 128)):
+            assert wpool_ct_supported(c, rows, w), (c, rows, w)
+            x = jax.random.normal(
+                jax.random.key(0), (c, rows * w)).astype(jnp.bfloat16)
+            tie = jax.random.bernoulli(jax.random.key(1), 0.3, x.shape)
+            x = jnp.where(tie, jnp.round(x * 2) / 2, x).astype(jnp.bfloat16)
+
+            x3 = x.reshape(c, rows, w)
+            want = jnp.maximum(x3[:, :, 0::2], x3[:, :, 1::2]).reshape(c, -1)
+            got = max_pool_w_ct(x, rows, w, True)
+            np.testing.assert_array_equal(
+                np.asarray(want, np.float32), np.asarray(got, np.float32),
+                err_msg=f"c={c} rows={rows} w={w}")
+
     def test_pool_skip_fused_backward_matches_unfused(self):
         """max_pool2x2_skip_ct routes the skip cotangent through the pool
         backward kernel; its gradient must equal pool-grad + skip-grad.
@@ -473,19 +494,26 @@ class TestPoolCT:
 
 
 class TestX2HalfH:
-    def test_half_h_matches_full_res_composition(self):
+    @pytest.mark.parametrize("b", [1, 2])
+    def test_half_h_matches_full_res_composition(self, b):
         """conv3x3_ct_train(x2_half_h=True) fed the W-upsampled half-H
         slab must equal the full-res composition (upsample2x_ct then the
         standard kernel) — forward, stats, and every gradient.  Both
         paths round identically (W-dot f32->bf16, H-lerp f32->bf16, and
         on the way back H-accum f32->bf16 then the W-transpose dot), so
-        the comparison is bitwise."""
+        the comparison is bitwise.
+
+        b=2 exercises _stage_x2_half's image-boundary tiles (first/last
+        tile of a non-first x2 image, where the staged halo rows must be
+        masked by first_img/last_img instead of reading the neighbor
+        image's rows) in the train fwd/dw kernels — the eval analog
+        already tests n2=2."""
         from mimo_unet_tpu.ops.pallas.ct_resize import (
             lerp_h2x_transpose_supported, upsample2x_ct, upsample_w2x_ct,
             upsample_w2x_ct_supported)
         from mimo_unet_tpu.ops.pallas.ct_train import pick_th_train
 
-        c1, c2, o, grp, b = 8, 8, 6, 2, 1
+        c1, c2, o, grp = 8, 8, 6, 2
         h, w = 64, 256
         h2, w2 = h // 2, w // 2
         assert upsample_w2x_ct_supported(c2, b * h2, w2)
