@@ -96,7 +96,7 @@ def _combine_dx(y_ref, mpad, m, w, lanes, s_ref, b_ref, interpret):
 
 
 def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
-                last_img, i):
+                last_img, i, q0=0, length=None):
     """Write input ``x_ref``'s slab into its column segment.
 
     Column part dy (rows [dy*cp + base, dy*cp + base + c)) position p of
@@ -104,8 +104,18 @@ def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
     slab starts at flat row i*th - 4 (slab row s = flat row i*th - 4 + s);
     a clamped slab (tile at flat row 0) starts at 0.  Positions sourced
     from other images / out of bounds are fixed to their reflect rows.
+
+    ``q0``/``length``: build only GLOBAL positions [q0, q0+length) of the
+    th+2, written at col positions [0, length) — the sub-tile chunking
+    that lets th=64 run with th=32-sized column scratches (fewer grid
+    steps amortize the per-step fixed cost).  q0=0/length=th+2 is the
+    whole tile.  Reflect fixes apply only when their position falls in
+    the window (q0==0 holds position 1; the window containing position
+    th gets the row-H fix).
     """
     r1 = th + 2
+    length = r1 if length is None else length
+    q1 = q0 + length
 
     def _rd(v):
         # allow a bf16 slab feeding an f32 column scratch (the nine-tap
@@ -116,46 +126,59 @@ def _build_cols(col, x_ref, *, cp, base, c, w, th, clamped, first_img,
     @pl.when(jnp.logical_not(clamped))
     def _():
         for dy in range(3):
-            col[dy * cp + base:dy * cp + base + c] = _rd(
-                x_ref[:, (2 + dy) * w:(2 + dy + r1) * w])
+            col[dy * cp + base:dy * cp + base + c, 0:length * w] = _rd(
+                x_ref[:, (2 + dy + q0) * w:(2 + dy + q0 + length) * w])
 
-    @pl.when(clamped)
-    def _():
-        # slab row s = flat row s; copy in-bounds tails (uncovered
-        # positions feed only rows that are overwritten below)
-        col[base:base + c, 2 * w:r1 * w] = _rd(x_ref[:, 0:(r1 - 2) * w])
-        col[cp + base:cp + base + c, w:r1 * w] = _rd(
-            x_ref[:, 0:(r1 - 1) * w])
-        col[2 * cp + base:2 * cp + base + c, 0:r1 * w] = _rd(
-            x_ref[:, 0:r1 * w])
+    if q0 == 0:
+        @pl.when(clamped)
+        def _():
+            # slab row s = flat row s; copy in-bounds tails (uncovered
+            # positions feed only rows that are overwritten below)
+            col[base:base + c, 2 * w:length * w] = _rd(
+                x_ref[:, 0:(length - 2) * w])
+            col[cp + base:cp + base + c, w:length * w] = _rd(
+                x_ref[:, 0:(length - 1) * w])
+            col[2 * cp + base:2 * cp + base + c, 0:length * w] = _rd(
+                x_ref[:, 0:length * w])
 
-    # image row -1 (part dy=0 position 1) -> reflect row 1 = flat row
-    # i*th + 1 = slab row 5 (clamped: slab row 1)
-    @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
-    def _():
-        col[base:base + c, w:2 * w] = _rd(x_ref[:, 5 * w:6 * w])
+        # image row -1 (part dy=0 position 1) -> reflect row 1 = flat row
+        # i*th + 1 = slab row 5 (clamped: slab row 1)
+        @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
+        def _():
+            col[base:base + c, w:2 * w] = _rd(x_ref[:, 5 * w:6 * w])
 
-    @pl.when(clamped)
-    def _():
-        col[base:base + c, w:2 * w] = _rd(x_ref[:, w:2 * w])
+        @pl.when(clamped)
+        def _():
+            col[base:base + c, w:2 * w] = _rd(x_ref[:, w:2 * w])
+    else:
+        # interior chunk: clamped slab starts at flat row 0, so position
+        # q0+j reads slab row q0+j-2+dy instead of q0+j+2+dy
+        @pl.when(clamped)
+        def _():
+            for dy in range(3):
+                col[dy * cp + base:dy * cp + base + c, 0:length * w] = _rd(
+                    x_ref[:, (q0 - 2 + dy) * w:(q0 - 2 + dy + length) * w])
 
-    # image row H (part dy=2 position th) -> reflect row H-2 = flat row
-    # i*th + th - 2 = slab row th+2 (clamped: slab row th-2)
-    @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
-    def _():
-        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = _rd(
-            x_ref[:, (th + 2) * w:(th + 3) * w])
+    if q0 <= th < q1:
+        j = th - q0
+        # image row H (part dy=2 position th) -> reflect row H-2 = flat
+        # row i*th + th - 2 = slab row th+2 (clamped: slab row th-2)
+        @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, j * w:(j + 1) * w] = _rd(
+                x_ref[:, (th + 2) * w:(th + 3) * w])
 
-    @pl.when(jnp.logical_and(last_img, clamped))
-    def _():
-        col[2 * cp + base:2 * cp + base + c, th * w:(th + 1) * w] = _rd(
-            x_ref[:, (th - 2) * w:(th - 1) * w])
+        @pl.when(jnp.logical_and(last_img, clamped))
+        def _():
+            col[2 * cp + base:2 * cp + base + c, j * w:(j + 1) * w] = _rd(
+                x_ref[:, (th - 2) * w:(th - 1) * w])
 
 
 def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
                  tpi, bt2, out_dtype, interpret, w_img=None,
-                 group_minor_g=0, gt=0, x2_half=0):
+                 group_minor_g=0, gt=0, x2_half=0, sub=1):
     r1 = th + 2
+    tc = th // sub  # chunk rows (col/ys scratches sized for tc, not th)
     w_img = w_img or w
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
@@ -182,111 +205,127 @@ def _make_kernel(*, th, w, c1, c2, m, o, out_c, fuse_out, emit_hpool,
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
-        _build_cols(col, x1_ref, cp=cp, base=0, c=c1, w=w, th=th,
-                    clamped=i == 0, first_img=first_img, last_img=last_img,
-                    i=i)
-        if c1a > c1:
-            for dy in range(3):
-                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
-                    (c1a - c1, r1 * w), col.dtype)
-        if c2:
-            if x2_half:
-                # H-half of the bilinear x2 upsample fused into the column
-                # build: x2_ref is the W-upsampled HALF-res slab; stage the
-                # tile's full-res ext rows as per-row lerps (align-corners
-                # weights computed exactly from integer scalars, matching
-                # ops/resize.py _align_corners_tables), then feed the
-                # staging buffer through the unchanged _build_cols.
-                h2 = x2_half
-                pos = i % bt2
-                i_loc = pos % tpi
-                r_start = jnp.where(pos == 0, 0, i_loc * th - 4)
-                base = jnp.maximum((i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
-                for j in range(th + 8):
-                    r = jnp.clip(r_start + j, 0, h - 1)
-                    num = r * (h2 - 1)
-                    lo = jnp.minimum(num // (h - 1), h2 - 2)
-                    f = ((num - lo * (h - 1)).astype(jnp.float32)
-                         / float(h - 1))
-                    sl = lo - base
-                    a = x2_ref[:, pl.ds(pl.multiple_of(sl * w, 128), w)]
-                    b = x2_ref[:, pl.ds(pl.multiple_of((sl + 1) * w, 128), w)]
-                    x2s[:, j * w:(j + 1) * w] = (
-                        a.astype(jnp.float32) * (1.0 - f)
-                        + b.astype(jnp.float32) * f).astype(x2s.dtype)
-                x2_src = x2s
-            else:
-                x2_src = x2_ref
-            _build_cols(col, x2_src, cp=cp, base=c1a, c=c2, w=w, th=th,
-                        clamped=(i % bt2) == 0, first_img=first_img,
-                        last_img=last_img, i=i)
-            if c2a > c2:
+        if c2 and x2_half:
+            # H-half of the bilinear x2 upsample fused into the column
+            # build: x2_ref is the W-upsampled HALF-res slab; stage the
+            # tile's full-res ext rows as per-row lerps (align-corners
+            # weights computed exactly from integer scalars, matching
+            # ops/resize.py _align_corners_tables), then feed the
+            # staging buffer through the unchanged _build_cols.
+            h2 = x2_half
+            pos = i % bt2
+            i_loc = pos % tpi
+            r_start = jnp.where(pos == 0, 0, i_loc * th - 4)
+            base = jnp.maximum((i_loc * th - 4) * (h2 - 1) // (h - 1), 0)
+            for j in range(th + 8):
+                r = jnp.clip(r_start + j, 0, h - 1)
+                num = r * (h2 - 1)
+                lo = jnp.minimum(num // (h - 1), h2 - 2)
+                f = ((num - lo * (h - 1)).astype(jnp.float32)
+                     / float(h - 1))
+                sl = lo - base
+                a = x2_ref[:, pl.ds(pl.multiple_of(sl * w, 128), w)]
+                b = x2_ref[:, pl.ds(pl.multiple_of((sl + 1) * w, 128), w)]
+                x2s[:, j * w:(j + 1) * w] = (
+                    a.astype(jnp.float32) * (1.0 - f)
+                    + b.astype(jnp.float32) * f).astype(x2s.dtype)
+
+        # sub-tile chunk loop: chunk 0 produces mid positions [0, tc+2),
+        # chunk s>0 positions [s*tc+2, (s+1)*tc+2); conv2's chunk s needs
+        # mid [s*tc, (s+1)*tc+2) — exactly what conv1 has produced so far,
+        # so conv1/conv2 interleave per chunk and col/ys stay chunk-sized
+        # (th=64 fits VMEM with th=32 scratch sizes; sub=1 is the
+        # original whole-tile kernel)
+        for s in range(sub):
+            q0 = 0 if s == 0 else s * tc + 2
+            ln = (tc + 2) if s == 0 else tc
+            _build_cols(col, x1_ref, cp=cp, base=0, c=c1, w=w, th=th,
+                        clamped=i == 0, first_img=first_img,
+                        last_img=last_img, i=i, q0=q0, length=ln)
+            if c1a > c1:
                 for dy in range(3):
-                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
-                        (c2a - c2, r1 * w), col.dtype)
+                    col[dy * cp + c1:dy * cp + c1a, 0:ln * w] = jnp.zeros(
+                        (c1a - c1, ln * w), col.dtype)
+            if c2:
+                x2_src = x2s if x2_half else x2_ref
+                _build_cols(col, x2_src, cp=cp, base=c1a, c=c2, w=w, th=th,
+                            clamped=(i % bt2) == 0, first_img=first_img,
+                            last_img=last_img, i=i, q0=q0, length=ln)
+                if c2a > c2:
+                    for dy in range(3):
+                        col[dy * cp + c1a + c2:(dy + 1) * cp, 0:ln * w] = (
+                            jnp.zeros((c2a - c2, ln * w), col.dtype))
 
-        ys[0:3 * ma, :] = jax.lax.dot_general(
-            w1_ref[:], col[0:3 * cp, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        mid[...] = _combine_dx(
-            ys, ma, m, w_img, r1 * w, s1_ref, b1_ref,
-            interpret).astype(mid.dtype)
-
-        # mid rows are conv2-input ext rows [i*th-1, i*th+th+1)
-        @pl.when(first_img)
-        def _():
-            mid[:, 0:w] = mid[:, 2 * w:3 * w]
-
-        @pl.when(last_img)
-        def _():
-            mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:(r1 - 2) * w]
-
-        for dy in range(3):
-            col[dy * ma:dy * ma + m, 0:th * w] = mid[:, dy * w:(dy + th) * w]
-            if ma > m:
-                col[dy * ma + m:(dy + 1) * ma, 0:th * w] = jnp.zeros(
-                    (ma - m, th * w), col.dtype)
-
-        ys[0:3 * oa, 0:th * w] = jax.lax.dot_general(
-            w2_ref[:], col[0:3 * ma, 0:th * w],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y2 = _combine_dx(ys, oa, o, w_img, th * w, s2_ref, b2_ref,
-                         interpret)
-        if fuse_out:
-            out_ref[...] = (jax.lax.dot_general(
-                wo_ref[:], y2.astype(out_dtype),
+            ys[0:3 * ma, 0:ln * w] = jax.lax.dot_general(
+                w1_ref[:], col[0:3 * cp, 0:ln * w],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-                + bo_ref[:]).astype(out_dtype)
-        else:
-            y2b = y2.astype(out_dtype)
-            out_ref[0:o, :] = y2b
-            if out_c > o:
-                out_ref[o:out_c, :] = jnp.zeros((out_c - o, th * w),
-                                                out_dtype)
-            if emit_hpool:
-                # H-half of the 2x2 maxpool that follows this DoubleConv
-                # in a Down block (reference components.py:48): row pairs
-                # within the tile (th even, tiles never straddle images).
-                # Rolls must stay f32 (Mosaic: no sub-32-bit rotate); max
-                # commutes with the monotone bf16 rounding, so this equals
-                # pooling the bf16 output.
-                hm = jnp.maximum(y2, _roll(y2, th * w - w, interpret))
-                hm = hm.astype(out_dtype)
-                hp_ref[0:o, :] = jnp.concatenate(
-                    [hm[:, r * w:(r + 1) * w] for r in range(0, th, 2)],
-                    axis=1)
+            mid[:, q0 * w:(q0 + ln) * w] = _combine_dx(
+                ys, ma, m, w_img, ln * w, s1_ref, b1_ref,
+                interpret).astype(mid.dtype)
+
+            # mid rows are conv2-input ext rows [i*th-1, i*th+th+1)
+            if s == 0:
+                @pl.when(first_img)
+                def _():
+                    mid[:, 0:w] = mid[:, 2 * w:3 * w]
+
+            if s == sub - 1:
+                @pl.when(last_img)
+                def _():
+                    mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:
+                                                      (r1 - 2) * w]
+
+            o0 = s * tc
+            for dy in range(3):
+                col[dy * ma:dy * ma + m, 0:tc * w] = mid[
+                    :, (o0 + dy) * w:(o0 + dy + tc) * w]
+                if ma > m:
+                    col[dy * ma + m:(dy + 1) * ma, 0:tc * w] = jnp.zeros(
+                        (ma - m, tc * w), col.dtype)
+
+            ys[0:3 * oa, 0:tc * w] = jax.lax.dot_general(
+                w2_ref[:], col[0:3 * ma, 0:tc * w],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y2 = _combine_dx(ys, oa, o, w_img, tc * w, s2_ref, b2_ref,
+                             interpret)
+            osl = slice(o0 * w, (o0 + tc) * w)
+            if fuse_out:
+                out_ref[:, osl] = (jax.lax.dot_general(
+                    wo_ref[:], y2.astype(out_dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    + bo_ref[:]).astype(out_dtype)
+            else:
+                y2b = y2.astype(out_dtype)
+                out_ref[0:o, osl] = y2b
                 if out_c > o:
-                    hp_ref[o:out_c, :] = jnp.zeros(
-                        (out_c - o, th * w // 2), out_dtype)
+                    out_ref[o:out_c, osl] = jnp.zeros((out_c - o, tc * w),
+                                                      out_dtype)
+                if emit_hpool:
+                    # H-half of the 2x2 maxpool that follows this
+                    # DoubleConv in a Down block (reference
+                    # components.py:48): row pairs within the chunk (tc
+                    # even, tiles never straddle images).  Rolls must stay
+                    # f32 (Mosaic: no sub-32-bit rotate); max commutes
+                    # with the monotone bf16 rounding, so this equals
+                    # pooling the bf16 output.
+                    hm = jnp.maximum(y2, _roll(y2, tc * w - w, interpret))
+                    hm = hm.astype(out_dtype)
+                    hp_ref[0:o, o0 * w // 2:(o0 + tc) * w // 2] = (
+                        jnp.concatenate(
+                            [hm[:, r * w:(r + 1) * w]
+                             for r in range(0, tc, 2)], axis=1))
+                    if out_c > o:
+                        hp_ref[o:out_c, o0 * w // 2:(o0 + tc) * w // 2] = (
+                            jnp.zeros((out_c - o, tc * w // 2), out_dtype))
 
     return kernel
 
 
 def _make_kernel9(*, th, w, c1, m, o, emit_hpool, tpi, gt, out_dtype,
-                  interpret):
+                  interpret, sub=1):
     """Nine-tap conv1 variant for tiny c1 (the network in_conv, c1 <= 8).
 
     The standard kernel's conv1 at c1=3 runs a K=24 dot then pays the f32
@@ -300,6 +339,7 @@ def _make_kernel9(*, th, w, c1, m, o, emit_hpool, tpi, gt, out_dtype,
     identical to the standard kernel.  Numerics: same rounding class (one
     dot accumulation order change, <=5e-3 relative of max)."""
     r1 = th + 2
+    tc = th // sub
     c1a = align8(c1)
     ma, oa = align8(m), align8(o)
 
@@ -313,61 +353,74 @@ def _make_kernel9(*, th, w, c1, m, o, emit_hpool, tpi, gt, out_dtype,
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
-        _build_cols(xdy, x_ref, cp=c1, base=0, c=c1, w=w, th=th,
-                    clamped=i == 0, first_img=first_img, last_img=last_img,
-                    i=i)
+        for s in range(sub):
+            q0 = 0 if s == 0 else s * tc + 2
+            ln = (tc + 2) if s == 0 else tc
+            _build_cols(xdy, x_ref, cp=c1, base=0, c=c1, w=w, th=th,
+                        clamped=i == 0, first_img=first_img,
+                        last_img=last_img, i=i, q0=q0, length=ln)
 
-        first, last = _edge_masks(w, r1 * w)
-        for dy in range(3):
-            xr = xdy[dy * c1:(dy + 1) * c1]
-            left = jnp.where(first, _roll(xr, -1, interpret),
-                             _roll(xr, 1, interpret))
-            right = jnp.where(last, _roll(xr, 1, interpret),
-                              _roll(xr, -1, interpret))
-            for dx, v in ((0, left), (1, xr), (2, right)):
-                base = (dy * 3 + dx) * c1a
-                col[base:base + c1, :] = v.astype(col.dtype)
-                if c1a > c1:
-                    col[base + c1:base + c1a, :] = jnp.zeros(
-                        (c1a - c1, r1 * w), col.dtype)
+            first, last = _edge_masks(w, ln * w)
+            for dy in range(3):
+                xr = xdy[dy * c1:(dy + 1) * c1, 0:ln * w]
+                left = jnp.where(first, _roll(xr, -1, interpret),
+                                 _roll(xr, 1, interpret))
+                right = jnp.where(last, _roll(xr, 1, interpret),
+                                  _roll(xr, -1, interpret))
+                for dx, v in ((0, left), (1, xr), (2, right)):
+                    base = (dy * 3 + dx) * c1a
+                    col[base:base + c1, 0:ln * w] = v.astype(col.dtype)
+                    if c1a > c1:
+                        col[base + c1:base + c1a, 0:ln * w] = jnp.zeros(
+                            (c1a - c1, ln * w), col.dtype)
 
-        ys1[...] = jax.lax.dot_general(
-            w9_ref[:], col[0:9 * c1a, :],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        mid[...] = jnp.maximum(
-            ys1[0:m, :] * s1_ref[0:m] + b1_ref[0:m], 0.0).astype(mid.dtype)
+            ys1[:, 0:ln * w] = jax.lax.dot_general(
+                w9_ref[:], col[0:9 * c1a, 0:ln * w],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            mid[:, q0 * w:(q0 + ln) * w] = jnp.maximum(
+                ys1[0:m, 0:ln * w] * s1_ref[0:m] + b1_ref[0:m],
+                0.0).astype(mid.dtype)
 
-        @pl.when(first_img)
-        def _():
-            mid[:, 0:w] = mid[:, 2 * w:3 * w]
+            if s == 0:
+                @pl.when(first_img)
+                def _():
+                    mid[:, 0:w] = mid[:, 2 * w:3 * w]
 
-        @pl.when(last_img)
-        def _():
-            mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:(r1 - 2) * w]
+            if s == sub - 1:
+                @pl.when(last_img)
+                def _():
+                    mid[:, (r1 - 1) * w:r1 * w] = mid[:, (r1 - 3) * w:
+                                                      (r1 - 2) * w]
 
-        for dy in range(3):
-            col[dy * ma:dy * ma + m, 0:th * w] = mid[:, dy * w:(dy + th) * w]
-            if ma > m:
-                col[dy * ma + m:(dy + 1) * ma, 0:th * w] = jnp.zeros(
-                    (ma - m, th * w), col.dtype)
+            o0 = s * tc
+            for dy in range(3):
+                col[dy * ma:dy * ma + m, 0:tc * w] = mid[
+                    :, (o0 + dy) * w:(o0 + dy + tc) * w]
+                if ma > m:
+                    col[dy * ma + m:(dy + 1) * ma, 0:tc * w] = jnp.zeros(
+                        (ma - m, tc * w), col.dtype)
 
-        ys2[0:3 * oa, 0:th * w] = jax.lax.dot_general(
-            w2_ref[:], col[0:3 * ma, 0:th * w],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y2 = _combine_dx(ys2, oa, o, w, th * w, s2_ref, b2_ref, interpret)
-        y2b = y2.astype(out_dtype)
-        out_ref[0:o, :] = y2b
-        if oa > o:
-            out_ref[o:oa, :] = jnp.zeros((oa - o, th * w), out_dtype)
-        if emit_hpool:
-            hm = jnp.maximum(y2, _roll(y2, th * w - w, interpret))
-            hm = hm.astype(out_dtype)
-            hp_ref[0:o, :] = jnp.concatenate(
-                [hm[:, r * w:(r + 1) * w] for r in range(0, th, 2)], axis=1)
+            ys2[0:3 * oa, 0:tc * w] = jax.lax.dot_general(
+                w2_ref[:], col[0:3 * ma, 0:tc * w],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y2 = _combine_dx(ys2, oa, o, w, tc * w, s2_ref, b2_ref,
+                             interpret)
+            y2b = y2.astype(out_dtype)
+            osl = slice(o0 * w, (o0 + tc) * w)
+            out_ref[0:o, osl] = y2b
             if oa > o:
-                hp_ref[o:oa, :] = jnp.zeros((oa - o, th * w // 2), out_dtype)
+                out_ref[o:oa, osl] = jnp.zeros((oa - o, tc * w), out_dtype)
+            if emit_hpool:
+                hm = jnp.maximum(y2, _roll(y2, tc * w - w, interpret))
+                hm = hm.astype(out_dtype)
+                hp_ref[0:o, o0 * w // 2:(o0 + tc) * w // 2] = (
+                    jnp.concatenate([hm[:, r * w:(r + 1) * w]
+                                     for r in range(0, tc, 2)], axis=1))
+                if oa > o:
+                    hp_ref[o:oa, o0 * w // 2:(o0 + tc) * w // 2] = (
+                        jnp.zeros((oa - o, tc * w // 2), out_dtype))
 
     return kernel
 
@@ -385,23 +438,24 @@ def pack_w3x3_9(w1: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return out
 
 
-def estimate_vmem9(th, w, c1, m, o, emit_hpool=False) -> int:
+def estimate_vmem9(th, w, c1, m, o, emit_hpool=False, sub=1) -> int:
     """Scoped-VMEM estimate for the nine-tap kernel (see estimate_vmem)."""
     c1a, ma, oa = align8(c1), align8(m), align8(o)
     r1w = (th + 2) * w
-    xdy = 3 * c1 * r1w * 4
-    col = max(9 * c1a, 3 * ma) * r1w * 2
-    ys = (ma + 3 * oa) * r1w * 4
+    cw = (th // sub + 2) * w
+    xdy = 3 * c1 * cw * 4
+    col = max(9 * c1a, 3 * ma) * cw * 2
+    ys = (ma + 3 * oa) * cw * 4
     mid = m * r1w * 2
     slabs = 2 * c1 * (th + 8) * w * 2  # bf16 slab (upcast in VMEM)
     out = 2 * oa * th * w * 2
-    temps = 3 * max(ma, oa) * r1w * 4
-    hpool = (2 * oa * (th // 2) * w * 2 + oa * th * w * 4
+    temps = 3 * max(ma, oa) * cw * 4
+    hpool = (2 * oa * (th // 2) * w * 2 + oa * (th // sub) * w * 4
              if emit_hpool else 0)
     return xdy + col + ys + mid + slabs + out + temps + hpool
 
 
-def _probe_build9(th, w, c1, m, o, emit_hpool):
+def _probe_build9(th, w, c1, m, o, emit_hpool, sub=1):
     """Batch-minimal (2 groups x 1 image) but VMEM-exact probe call for
     the nine-tap kernel — see ops/pallas/probe.py."""
     import functools
@@ -411,7 +465,7 @@ def _probe_build9(th, w, c1, m, o, emit_hpool):
     S = jax.ShapeDtypeStruct
     f32 = jnp.float32
     fn = functools.partial(
-        fused_double_conv9_ct, h=h, w=w, th=th, c1=c1, m=m, o=o,
+        fused_double_conv9_ct, h=h, w=w, th=th, c1=c1, m=m, o=o, sub=sub,
         emit_hpool=emit_hpool, interpret=False)
     args = (S((c1, g * h * w), jnp.bfloat16), S((g, 3, 3, c1, m), f32),
             S((g, m), f32), S((g, m), f32),
@@ -421,17 +475,20 @@ def _probe_build9(th, w, c1, m, o, emit_hpool):
 
 def pick_th9(h: int, w: int, c1: int, m: int, o: int,
              budget: int = 15 * 2 ** 20, emit_hpool: bool = False
-             ) -> Optional[int]:
+             ) -> Optional[tuple]:
     from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
 
     do_probe = probing_enabled()
-    for th in (64, 32, 16, 8):
-        if h % th == 0 and estimate_vmem9(th, w, c1, m, o,
-                                          emit_hpool) <= budget:
+    gate = int(budget * 1.15) if do_probe else budget
+    for th, sub in ((64, 1), (64, 2), (64, 4), (32, 1), (16, 1), (8, 1)):
+        if h % th == 0 and (th // sub) % 2 == 0 and estimate_vmem9(
+                th, w, c1, m, o, emit_hpool, sub=sub) <= gate:
             if not do_probe or probe_fits(
-                    f"dc9:th{th}:w{w}:c{c1}m{m}o{o}:hp{int(emit_hpool)}",
-                    lambda: _probe_build9(th, w, c1, m, o, emit_hpool)):
-                return th
+                    f"dc9:th{th}.{sub}:w{w}:c{c1}m{m}o{o}"
+                    f":hp{int(emit_hpool)}",
+                    lambda: _probe_build9(th, w, c1, m, o, emit_hpool,
+                                          sub)):
+                return th, sub
     return None
 
 
@@ -451,6 +508,7 @@ def fused_double_conv9_ct(
     m: int,
     o: int,
     emit_hpool: bool = False,
+    sub: int = 1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Nine-tap fused DoubleConv for c1 <= 8 (see _make_kernel9).
@@ -465,6 +523,9 @@ def fused_double_conv9_ct(
     """
     if interpret is None:
         interpret = _use_interpret()
+    if isinstance(th, tuple):  # pick_th9 returns (th, sub)
+        th, sub = th
+    assert th % sub == 0 and (th // sub) % 2 == 0, (th, sub)
     total = x1.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -474,7 +535,7 @@ def fused_double_conv9_ct(
     w9 = jnp.stack([pack_w3x3_9(w1[i]) for i in range(g)])
 
     kern = _make_kernel9(th=th, w=w, c1=c1, m=m, o=o,
-                         emit_hpool=emit_hpool, tpi=tpi, gt=gt,
+                         emit_hpool=emit_hpool, tpi=tpi, gt=gt, sub=sub,
                          out_dtype=jnp.bfloat16, interpret=interpret)
 
     x_spec = pl.BlockSpec(
@@ -504,18 +565,20 @@ def fused_double_conv9_ct(
                      jax.ShapeDtypeStruct((oa, total // 2), jnp.bfloat16))
 
     r1w = (th + 2) * w
+    cw = (th // sub + 2) * w
     return pl.pallas_call(
         kern,
-        name=f"dc9_c{c1}m{m}o{o}_th{th}w{w}",
+        name=(f"dc9_c{c1}m{m}o{o}_th{th}w{w}"
+              + (f"s{sub}" if sub > 1 else "")),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3 * c1, r1w), jnp.float32),
-            pltpu.VMEM((max(9 * c1a, 3 * ma), r1w), jnp.bfloat16),
-            pltpu.VMEM((ma, r1w), jnp.float32),
-            pltpu.VMEM((3 * oa, r1w), jnp.float32),
+            pltpu.VMEM((3 * c1, cw), jnp.float32),
+            pltpu.VMEM((max(9 * c1a, 3 * ma), cw), jnp.bfloat16),
+            pltpu.VMEM((ma, cw), jnp.float32),
+            pltpu.VMEM((3 * oa, cw), jnp.float32),
             pltpu.VMEM((m, r1w), jnp.bfloat16),
         ],
         interpret=interpret,
@@ -572,7 +635,7 @@ def _padcol(v: jax.Array, n: int) -> jax.Array:
 
 
 def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False,
-                  x2_half_h=False) -> int:
+                  x2_half_h=False, sub=1) -> int:
     """Rough VMEM bytes for buffer-fit gating.
 
     Includes a term for Mosaic's vector-temporary stack in the combine
@@ -580,12 +643,15 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False,
     measured 16.08 MiB real scoped usage against a 9.8 MiB buffer-only
     estimate — the temporaries are the difference (compile log, round 3).
     ``emit_hpool`` adds the H-pool output block and its roll/max temps.
+    ``sub``: in-kernel chunk count — col/ys/temps scale with the chunk
+    rows (th/sub + 2), only mid/slabs/out with th.
     """
     cp = align8(c1) + (align8(c2) if c2 else 0)
     ma, oa = align8(m), align8(o)
     r1w = (th + 2) * w
-    col = 3 * max(cp, ma) * r1w * 2
-    ys = 3 * max(ma, oa) * r1w * 4
+    cw = (th // sub + 2) * w  # chunk lanes for col/ys/temps
+    col = 3 * max(cp, ma) * cw * 2
+    ys = 3 * max(ma, oa) * cw * 4
     mid = m * r1w * 2
     if x2_half_h and c2:
         # x2 slab halves (th/2+6 of th+8 rows) but adds the full-res lerp
@@ -597,44 +663,54 @@ def estimate_vmem(th, w, c1, c2, m, o, out_c, emit_hpool=False,
     else:
         slabs = 2 * (c1 + (c2 or 0)) * (th + 8) * w * 2
     out = 2 * out_c * th * w * 2
-    temps = 3 * max(ma, oa) * r1w * 4
+    temps = 3 * max(ma, oa) * cw * 4
     # narrow first inputs measure one extra temporary plane: in_conv
     # (c1=3) at th=64, w=256, no hpool ran 16.08 MiB real vs 14.67 MiB
     # estimated (experiments/exp_kernel_attrib.py OOM, round 3)
     if align8(c1) < 16:
-        temps += max(ma, oa) * r1w * 4
-    hpool = (2 * out_c * (th // 2) * w * 2 + oa * th * w * 4
+        temps += max(ma, oa) * cw * 4
+    hpool = (2 * out_c * (th // 2) * w * 2 + oa * (th // sub) * w * 4
              if emit_hpool else 0)
     return col + ys + mid + slabs + out + temps + hpool
 
 
 def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
             budget: int = 15 * 2 ** 20, emit_hpool: bool = False,
-            x2_half_h: bool = False) -> Optional[int]:
-    """Deepest fitting tile first: the kernels carry a per-tile fixed cost
-    (grid sequencing + slab DMA issue), so fewer, deeper tiles win when
+            x2_half_h: bool = False) -> Optional[tuple]:
+    """Deepest fitting tile first: the kernels carry a per-GRID-STEP fixed
+    cost (~2-4 us measured by full ablation, experiments/exp_r5_dec2.py —
+    grid sequencing + DMA issue latency), so fewer, deeper tiles win when
     VMEM allows — measured th=32 -> 64 on down1: 4.65 -> 4.08 ms at B=128
-    (experiments/exp_th_sweep.py).  The budget tracks the 16 MiB scoped
-    limit with the temporary-stack term above keeping real usage under it
-    (in_conv at th=64 overflows by 80 KiB and is correctly rejected)."""
+    (experiments/exp_th_sweep.py).  Rungs are (th, sub) pairs: sub>1
+    splits the tile into in-kernel chunks so col/ys stay chunk-sized —
+    e.g. (64, 2) runs half the grid steps of (32, 1) with the same big
+    scratches.  Returns (th, sub) or None.  The budget tracks the 16 MiB
+    scoped limit with the temporary-stack term above keeping real usage
+    under it; every estimator-accepted rung is compile-probe verified."""
     from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
 
     do_probe = probing_enabled()
-    for th in (64, 32, 16, 8):
-        if h % th == 0 and estimate_vmem(
+    # with the probe as authority, the estimator only pre-filters: allow a
+    # margin so borderline rungs (the flagship decoder at (64, 2) sits
+    # ~10% over the byte model) get their one cached probe compile instead
+    # of a silent rejection; estimator-only flows keep the strict budget
+    gate = int(budget * 1.15) if do_probe else budget
+    for th, sub in ((64, 1), (64, 2), (64, 4), (32, 1), (16, 1), (8, 1)):
+        if h % th == 0 and (th // sub) % 2 == 0 and estimate_vmem(
                 th, w, c1, c2, m, o, out_c, emit_hpool,
-                x2_half_h=x2_half_h) <= budget:
+                x2_half_h=x2_half_h, sub=sub) <= gate:
             if not do_probe or probe_fits(
-                    f"dc:th{th}:w{w}:c{c1}x{c2}m{m}o{o}oc{out_c}"
+                    f"dc:th{th}.{sub}:w{w}:c{c1}x{c2}m{m}o{o}oc{out_c}"
                     f":hp{int(emit_hpool)}:hh{int(x2_half_h)}",
                     lambda: _probe_build_eval(
                         th, w, c1, c2, m, o, out_c, emit_hpool,
-                        x2_half_h)):
-                return th
+                        x2_half_h, sub)):
+                return th, sub
     return None
 
 
-def _probe_build_eval(th, w, c1, c2, m, o, out_c, emit_hpool, x2_half_h):
+def _probe_build_eval(th, w, c1, c2, m, o, out_c, emit_hpool, x2_half_h,
+                      sub=1):
     """Batch-minimal (2 groups x 1 image, 1 x2 image) but VMEM-exact
     probe call for the fused DoubleConv kernel.  ``fuse_out`` is implied
     by out_c != align8(o) (every call site fusing the 1x1 out-conv passes
@@ -646,7 +722,7 @@ def _probe_build_eval(th, w, c1, c2, m, o, out_c, emit_hpool, x2_half_h):
     fuse_out = out_c != oa
     S = jax.ShapeDtypeStruct
     bf, f32 = jnp.bfloat16, jnp.float32
-    kwargs = dict(h=h, w=w, th=th, c1=c1, m=m, o=o,
+    kwargs = dict(h=h, w=w, th=th, c1=c1, m=m, o=o, sub=sub,
                   emit_hpool=emit_hpool, interpret=False)
     if c2:
         kwargs.update(c2=c2, n2_images=1, x2_half_h=x2_half_h)
@@ -700,6 +776,7 @@ def fused_double_conv_ct(
     w_img: Optional[int] = None,
     group_minor: bool = False,
     x2_half_h: bool = False,
+    sub: int = 1,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """relu(bn2(conv2(relu(bn1(conv1(cat(x1, x2))))))) [-> 1x1 conv].
@@ -738,9 +815,12 @@ def fused_double_conv_ct(
     """
     if interpret is None:
         interpret = _use_interpret()
+    if isinstance(th, tuple):  # pick_th returns (th, sub)
+        th, sub = th
     total = x1.shape[1]
     n_rows = total // w
     assert h % th == 0 and w % 128 == 0
+    assert th % sub == 0 and (th // sub) % 2 == 0, (th, sub)
     n_tiles = n_rows // th
     tpi = h // th
     g = w1p.shape[0]
@@ -763,7 +843,7 @@ def fused_double_conv_ct(
                         fuse_out=fuse_out, emit_hpool=emit_hpool,
                         tpi=tpi, bt2=bt2, w_img=w_img,
                         group_minor_g=g if group_minor else 0, gt=gt,
-                        x2_half=(h // 2) if x2_half_h else 0,
+                        x2_half=(h // 2) if x2_half_h else 0, sub=sub,
                         out_dtype=x1.dtype, interpret=interpret)
 
     if group_minor:
@@ -859,14 +939,15 @@ def fused_double_conv_ct(
                      jax.ShapeDtypeStruct((rows, cols // 2), x1.dtype))
     return pl.pallas_call(
         kern,
-        name=f"dc_c{c1}x{c2}m{m}o{o}_th{th}w{w}",
+        name=(f"dc_c{c1}x{c2}m{m}o{o}_th{th}w{w}"
+              + (f"s{sub}" if sub > 1 else "")),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((3 * max(cp, ma), (th + 2) * w), x1.dtype),
-            pltpu.VMEM((3 * max(ma, oa), (th + 2) * w), jnp.float32),
+            pltpu.VMEM((3 * max(cp, ma), (th // sub + 2) * w), x1.dtype),
+            pltpu.VMEM((3 * max(ma, oa), (th // sub + 2) * w), jnp.float32),
             pltpu.VMEM((m, (th + 2) * w), x1.dtype),
         ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
              if (c2 and x2_half_h) else []),

@@ -50,6 +50,8 @@ class TestFusedDoubleConvCT:
         (5, 7, 6, 16, 256, 3, 8),     # odd channels, multi-image
         (12, 9, 11, 16, 256, 2, 16),  # single tile per image
         (3, 8, 8, 24, 384, 2, 8),     # non-pow2 W (384 = 3*128)
+        (5, 7, 6, 16, 256, 3, (8, 2)),   # sub-tile chunked (tc=4)
+        (12, 9, 11, 16, 256, 2, (16, 4)),  # 4 chunks of tc=4
     ])
     def test_matches_xla_reference(self, c, m, o, h, w, n, th):
         ks = jax.random.split(jax.random.key(0), 7)
@@ -78,6 +80,13 @@ class TestFusedDoubleConvCT:
         # alignment-pad channels must be exact zeros
         if align8(o) > o:
             assert float(jnp.max(jnp.abs(out[o:]))) == 0.0
+        if isinstance(th, tuple):
+            # chunking changes scratch sizes, not dot contractions: the
+            # sub>1 output must be BITWISE the whole-tile kernel's
+            base = fused_double_conv_ct(
+                xct, w1p, s1[None], b1[None], w2p, s2[None], b2[None],
+                h=h, w=w, th=th[0], c1=c, m=m, o=o, interpret=True)
+            assert bool(jnp.all(out == base))
 
     def test_grouped_weights_select_per_image_block(self):
         c, m, o, h, w, g, npg = 4, 6, 5, 16, 256, 2, 2
@@ -106,7 +115,8 @@ class TestFusedDoubleConvCT:
                 out[:o, sl].astype(np.float32),
                 ref_ct.astype(np.float32), atol=3e-2 * scale)
 
-    def test_two_input_concat_and_fused_outconv(self):
+    @pytest.mark.parametrize("th", [8, (8, 2)])
+    def test_two_input_concat_and_fused_outconv(self, th):
         c1r, c2r, m, o, oc, h, w, n = 5, 6, 7, 6, 2, 16, 256, 2
         c1a, c2a = align8(c1r), align8(c2r)
         ks = jax.random.split(jax.random.key(2), 6)
@@ -141,7 +151,7 @@ class TestFusedDoubleConvCT:
         out = fused_double_conv_ct(
             x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
             w2p, jnp.ones((1, o)), jnp.zeros((1, o)),
-            h=h, w=w, th=8, c1=c1a, m=m, o=o,
+            h=h, w=w, th=th, c1=c1a, m=m, o=o,
             x2=x2ct, c2=c2a, n2_images=n, wo=wop, bo=bop, interpret=True)
 
         scale = float(jnp.max(jnp.abs(ref_ct))) or 1.0
@@ -182,7 +192,8 @@ class TestFusedDoubleConvCT:
             atol=3e-2 * scale)
 
 
-    def test_x2_half_h_fused_lerp_matches_host_lerp(self):
+    @pytest.mark.parametrize("th", [8, (8, 2)])
+    def test_x2_half_h_fused_lerp_matches_host_lerp(self, th):
         """``x2_half_h``: the H-half of the bilinear x2 upsample runs
         inside the column builder.  Feeding the standard kernel the
         host-computed equivalent (f32 align-corners row lerp of the bf16
@@ -215,7 +226,7 @@ class TestFusedDoubleConvCT:
         x2half_ct = jnp.moveaxis(xh, -1, 0).reshape(c2r, -1)
         w1p = pack_w3x3([w1[:, :, :c1r], w1[:, :, c1r:]])[None]
         w2p = pack_w3x3([w2])[None]
-        kw = dict(h=h, w=w, th=8, c1=c1r, m=m, o=o, c2=c2r, n2_images=n2,
+        kw = dict(h=h, w=w, th=th, c1=c1r, m=m, o=o, c2=c2r, n2_images=n2,
                   interpret=True)
         ref = fused_double_conv_ct(
             x1ct, w1p, jnp.ones((1, m)), jnp.zeros((1, m)),
@@ -229,6 +240,49 @@ class TestFusedDoubleConvCT:
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             atol=5e-3 * scale)
+
+
+class TestNineTapKernel:
+    @pytest.mark.parametrize("th", [8, (8, 2), (16, 4)])
+    def test_matches_xla_reference_and_chunking_bitwise(self, th):
+        """fused_double_conv9_ct (in_conv, c1<=8) vs the XLA DoubleConv,
+        and — for chunked rungs — bitwise equality with the whole-tile
+        kernel (chunking resizes scratches, not contractions)."""
+        from mimo_unet_tpu.ops.pallas.ct_conv import fused_double_conv9_ct
+
+        c, m, o, h, w, n = 3, 6, 6, 16, 256, 2
+        ks = jax.random.split(jax.random.key(4), 5)
+        x = _mk(ks[0], (n, h, w, c), 1.0).astype(jnp.bfloat16)
+        w1, w2 = _mk(ks[1], (3, 3, c, m)), _mk(ks[2], (3, 3, m, o))
+        s1 = jax.random.uniform(ks[3], (m,), minval=0.5, maxval=1.5)
+        s2 = jax.random.uniform(ks[4], (o,), minval=0.5, maxval=1.5)
+        b1, b2 = jnp.zeros(m), jnp.zeros(o)
+
+        ref = _xla_double_conv(x, w1, s1, b1, w2, s2, b2)
+        ref_ct = jnp.moveaxis(ref, -1, 0).reshape(o, -1)
+
+        xct = jnp.moveaxis(x, -1, 0).reshape(c, -1)
+        kw = dict(h=h, w=w, c1=c, m=m, o=o, emit_hpool=True,
+                  interpret=True)
+        out, hp = fused_double_conv9_ct(
+            xct, w1[None], s1[None], b1[None], pack_w3x3([w2])[None],
+            s2[None], b2[None], th=th, **kw)
+        scale = float(jnp.max(jnp.abs(ref_ct))) or 1.0
+        np.testing.assert_allclose(
+            out[:o].astype(np.float32), ref_ct.astype(np.float32),
+            atol=3e-2 * scale)
+        # H-pool half: row-pair max of the output
+        want_hp = jnp.maximum(ref[:, 0::2], ref[:, 1::2])
+        want_hp = jnp.moveaxis(want_hp, -1, 0).reshape(o, -1)
+        np.testing.assert_allclose(
+            hp[:o].astype(np.float32), want_hp.astype(np.float32),
+            atol=3e-2 * scale)
+        if isinstance(th, tuple):
+            base_out, base_hp = fused_double_conv9_ct(
+                xct, w1[None], s1[None], b1[None], pack_w3x3([w2])[None],
+                s2[None], b2[None], th=th[0], **kw)
+            assert bool(jnp.all(out == base_out))
+            assert bool(jnp.all(hp == base_hp))
 
 
 class TestFastPathForward:

@@ -88,8 +88,8 @@ class TestLadderFallback:
         assert pick_th_kind("fwd", 64, 256, 8, 0, 8, prologue=False) == 16
         from mimo_unet_tpu.ops.pallas.ct_conv import pick_th, pick_th9
 
-        assert pick_th(64, 256, 8, 0, 8, 8, 8) == 16
-        assert pick_th9(64, 256, 3, 8, 8) == 16
+        assert pick_th(64, 256, 8, 0, 8, 8, 8) == (16, 1)
+        assert pick_th9(64, 256, 3, 8, 8) == (16, 1)
 
     def test_forced_fallback_is_probed(self, monkeypatch):
         monkeypatch.setattr(probe_mod, "probing_enabled", lambda: True)
