@@ -49,6 +49,7 @@ class Trainer:
         num_devices: Optional[int] = None,
         seed: int = 42,
         device_cache: bool = False,
+        device_cache_budget: Optional[int] = None,
         host_chunk: int = 1,
     ):
         self.task = task
@@ -60,6 +61,9 @@ class Trainer:
         self.log_images = log_images
         self.seed = seed
         self.device_cache = device_cache
+        # bytes of HBM the cache may take; None = auto from PJRT
+        # memory_stats (data/core.py device_cache_budget_bytes)
+        self.device_cache_budget = device_cache_budget
         self.host_chunk = host_chunk
         self.mesh = mesh if mesh is not None else make_mesh(num_devices)
         self.logger = logger if logger is not None else TSVLogger(checkpoint_path)
@@ -127,17 +131,49 @@ class Trainer:
         # shard-locally (DistributedSampler semantics — data/core.py
         # DeviceDataset).
         use_cache = self.device_cache
+        partial_ds = None
         if use_cache:
-            from mimo_unet_tpu.data.core import DeviceDataset
+            from mimo_unet_tpu.data.core import (
+                DeviceDataset, PartialDeviceDataset, dataset_nbytes,
+                device_cache_budget_bytes)
 
-            dev_ds = DeviceDataset(
-                dm.train_dataset(),
-                mesh=self.mesh if self.mesh.size > 1 else None,
-                seed=self.seed)
-            shards = (f" x {dev_ds.n_shards} shards"
-                      if dev_ds.n_shards > 1 else "")
-            print(f"[trainer] device cache: {len(dev_ds)} items, "
-                  f"{dev_ds.nbytes / 1e6:.0f} MB in HBM{shards}")
+            # ---- capacity gate: a split that does not fit HBM must not
+            # silently lose (or OOM) the fast path.  Budget = explicit
+            # bytes, else 60% of the backend's free HBM (None on backends
+            # without a limit, e.g. CPU tests -> no gate).
+            need = dataset_nbytes(dm.train_dataset())
+            budget = self.device_cache_budget
+            if budget is None:
+                budget = device_cache_budget_bytes()
+            per_dev = need // max(self.mesh.size, 1)
+            if budget is not None and per_dev > budget:
+                if self.mesh.size > 1:
+                    # partial caching is single-device only (per-device
+                    # row shards are pinned wholesale); fall back to the
+                    # host-fed path rather than OOM HBM
+                    print(f"[trainer] device cache disabled: split needs "
+                          f"{per_dev / 1e6:.0f} MB/device > "
+                          f"{budget / 1e6:.0f} MB budget (host-fed "
+                          f"fallback; use more devices or --host_chunk)")
+                    use_cache = False
+                else:
+                    partial_ds = PartialDeviceDataset(
+                        dm.train_dataset(), budget, seed=self.seed)
+                    dev_ds = partial_ds.cached
+                    print(f"[trainer] device cache (partial): "
+                          f"{partial_ds.n_cached}/{len(partial_ds)} rows "
+                          f"pinned ({dev_ds.nbytes / 1e6:.0f} of "
+                          f"{need / 1e6:.0f} MB; remainder streamed)")
+            if use_cache and partial_ds is None:
+                dev_ds = DeviceDataset(
+                    dm.train_dataset(),
+                    mesh=self.mesh if self.mesh.size > 1 else None,
+                    seed=self.seed)
+                shards = (f" x {dev_ds.n_shards} shards"
+                          if dev_ds.n_shards > 1 else "")
+                print(f"[trainer] device cache: {len(dev_ds)} items, "
+                      f"{dev_ds.nbytes / 1e6:.0f} MB in HBM{shards}")
+        if use_cache:
 
             def _cached_step(with_outputs, state, data, idx, rng):
                 # data flows through the jitted signature (not closure) so
@@ -164,7 +200,14 @@ class Trainer:
             t_epoch = time.time()
             images_seen = 0
             pending_logs = None
-            if use_cache and dev_ds.mesh is not None:
+            if partial_ds is not None:
+                # partial cache: full-size on-chip-gather batches for the
+                # pinned rows, uploaded batches for the streamed remainder
+                batches = partial_ds.epoch_batches(
+                    dm.batch_size, seed=self.seed, epoch=epoch,
+                    shuffle=True, drop_last=True,
+                )
+            elif use_cache and dev_ds.mesh is not None:
                 from mimo_unet_tpu.data.core import (
                     iterate_sharded_index_batches)
 
@@ -190,12 +233,21 @@ class Trainer:
                     chunk=self.host_chunk,
                 )
             for batch in batches:
+                on_chip = use_cache
+                if partial_ds is not None:
+                    kind, batch = batch
+                    if kind == "host":
+                        on_chip = False
+                        batch = {
+                            k: jax.device_put(v, data_shard)
+                            for k, v in batch.items() if v is not None
+                        }
                 want_images = (
                     self.log_images
                     and self.log_every_n_steps > 0
                     and global_step % self.log_every_n_steps == 0
                 )
-                if use_cache:
+                if on_chip:
                     n_batch = int(np.asarray(batch).size
                                   if batch.ndim > 1 else len(batch))
                     if want_images:
