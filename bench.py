@@ -154,8 +154,13 @@ def main():
 
     @_section("train")
     def bench_train():
+        from mimo_unet_tpu.train.capacity import make_train_step
+
         train_best, train_best_bs = 0.0, 0
-        for batch_size in (64, 128):
+        # B=192 exceeds HBM with full residual saving; the capacity
+        # ladder (train/capacity.py) compiles it via remat instead of a
+        # try/except dropping it from the sweep.
+        for batch_size in (64, 128, 192):
             batch = {
                 "image": jax.random.uniform(
                     jax.random.key(1), (batch_size, 256, 256, 3), jnp.float32
@@ -166,13 +171,18 @@ def main():
             }
             rngk = jax.random.key(0)
             carry = {"s": jax.device_put(task.init_state(steps_per_epoch=1000))}
+            step, task_used = make_train_step(
+                task, tx, carry["s"], batch, rngk
+            )
 
             def step_scalar(_unused):
-                new_state, logs, _ = train_step(carry["s"], batch, rngk)
+                new_state, logs, _ = step(carry["s"], batch, rngk)
                 carry["s"] = new_state
                 return logs["train_loss"]
 
             tput = timed_throughput(step_scalar, (0,), batch_size)
+            print(f"[bench] train B={batch_size} remat={task_used.remat}: "
+                  f"{tput:.1f} img/s", file=sys.stderr)
             if tput > train_best:
                 train_best, train_best_bs = tput, batch_size
         return train_best, train_best_bs

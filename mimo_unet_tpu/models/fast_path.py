@@ -1417,6 +1417,15 @@ def mimo_unet_apply_ct_train(
                   cnt_half=cnt_half, interpret=interpret, axis=axis)
     dec = partial(_dec_train_local, cfg=cfg, cnt_full=cnt_full,
                   interpret=interpret, axis=axis)
+    # HBM capacity ladder (MimoUNetConfig.remat / train/capacity.py):
+    # recompute the full-res encoder residuals — the dominant HBM term at
+    # large batch — in the backward instead of saving them; "all" also
+    # recomputes the decoder section (fwd-peak relief).  The custom-VJP
+    # kernels replay identically, so numerics are unchanged.
+    if cfg.remat in ("enc", "all"):
+        enc = jax.checkpoint(enc)
+    if cfg.remat == "all":
+        dec = jax.checkpoint(dec)
 
     if mesh is None:
         x1s5, x2s5, new_enc = enc(params["encoder"], state["encoder"], x,
@@ -1433,9 +1442,14 @@ def mimo_unet_apply_ct_train(
     h2, w2 = h // 2, w // 2
     x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
         b, h2, w2, s * f2)
-    x_up, core_st = core_apply(
-        params["core"], state["core"], x2_concat, cfg, train=True,
-        rng=k_core, dropout_active=True)
+    def core_fn(cp, cs, xc, kc):
+        return core_apply(cp, cs, xc, cfg, train=True, rng=kc,
+                          dropout_active=True)
+
+    if cfg.remat == "all":
+        core_fn = jax.checkpoint(core_fn)
+    x_up, core_st = core_fn(params["core"], state["core"], x2_concat,
+                            k_core)
 
     if mesh is None:
         logits, new_dec = dec(params["decoder"], state["decoder"], x1s5,

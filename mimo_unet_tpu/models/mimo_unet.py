@@ -64,6 +64,13 @@ class MimoUNetConfig:
     # it on TPU for eligible shapes, "off" disables, "force" also enables
     # the interpreter path off-TPU (tests).
     ct_kernels: str = "auto"
+    # Rematerialization (jax.checkpoint) for the train forward — the HBM
+    # capacity ladder (train/capacity.py): "none" saves every residual;
+    # "enc" recomputes the per-subnetwork encoders in the backward (the
+    # full-res residuals dominate HBM at large batch); "all" additionally
+    # recomputes the core and decoders.  Numerics are identical (same ops
+    # replayed); cost is the extra forward FLOPs of the wrapped sections.
+    remat: str = "none"
 
     def __post_init__(self):
         spatial = (
@@ -226,6 +233,8 @@ def mimo_unet_apply(
         )
         return (x1, x2, ind2), {"in_conv": st_in, "down1": st_d1}
 
+    if train and cfg.remat in ("enc", "all"):
+        encoder_one = jax.checkpoint(encoder_one)
     (x1s, x2s, ind2s), enc_state = jax.vmap(
         encoder_one, in_axes=(0, 0, 1, 0), out_axes=0
     )(params["encoder"], state["encoder"], x, jax.random.split(k_enc, s))
@@ -236,10 +245,15 @@ def mimo_unet_apply(
     x2_concat = x2_concat.reshape(x2_concat.shape[:-2] + (-1,))
 
     # ----- shared core -------------------------------------------------------
-    x_up, core_st = core_apply(
-        params["core"], state["core"], x2_concat, cfg, train=train,
-        rng=k_core, mc_dropout=mc_dropout, dropout_active=dropout_active,
-    )
+    def core_fn(cp, cs, xc, kc):
+        return core_apply(
+            cp, cs, xc, cfg, train=train, rng=kc, mc_dropout=mc_dropout,
+            dropout_active=dropout_active,
+        )
+
+    if train and cfg.remat == "all":
+        core_fn = jax.checkpoint(core_fn)
+    x_up, core_st = core_fn(params["core"], state["core"], x2_concat, k_core)
 
     # ----- decoder: vmap over the subnetwork axis ---------------------------
     def decoder_one(p, st, x1, ind2, k):
@@ -263,6 +277,8 @@ def mimo_unet_apply(
         y = out_conv_apply(p["outc"], y, compute_dtype=cdt)
         return y, {"up4": st_up4}
 
+    if train and cfg.remat == "all":
+        decoder_one = jax.checkpoint(decoder_one)
     logits, dec_state = jax.vmap(
         decoder_one, in_axes=(0, 0, 0, 0, 0), out_axes=0
     )(params["decoder"], state["decoder"], x1s, ind2s, jax.random.split(k_dec, s))

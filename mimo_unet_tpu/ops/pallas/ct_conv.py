@@ -480,7 +480,8 @@ def pick_th9(h: int, w: int, c1: int, m: int, o: int,
 
     do_probe = probing_enabled()
     gate = int(budget * 1.15) if do_probe else budget
-    for th, sub in ((64, 1), (64, 2), (64, 4), (32, 1), (16, 1), (8, 1)):
+    for th, sub in ((64, 1), (64, 2), (64, 4), (64, 8),
+                    (32, 1), (32, 2), (16, 1), (8, 1)):
         if h % th == 0 and (th // sub) % 2 == 0 and estimate_vmem9(
                 th, w, c1, m, o, emit_hpool, sub=sub) <= gate:
             if not do_probe or probe_fits(
@@ -695,7 +696,8 @@ def pick_th(h: int, w: int, c1: int, c2: int, m: int, o: int, out_c: int,
     # ~10% over the byte model) get their one cached probe compile instead
     # of a silent rejection; estimator-only flows keep the strict budget
     gate = int(budget * 1.15) if do_probe else budget
-    for th, sub in ((64, 1), (64, 2), (64, 4), (32, 1), (16, 1), (8, 1)):
+    for th, sub in ((64, 1), (64, 2), (64, 4), (64, 8),
+                    (32, 1), (32, 2), (16, 1), (8, 1)):
         if h % th == 0 and (th // sub) % 2 == 0 and estimate_vmem(
                 th, w, c1, c2, m, o, out_c, emit_hpool,
                 x2_half_h=x2_half_h, sub=sub) <= gate:

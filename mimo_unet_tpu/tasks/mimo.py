@@ -91,6 +91,7 @@ class MimoUnetTask:
     scheduler_gamma: float = 0.5
     compute_dtype: Optional[str] = None
     ct_kernels: str = "auto"  # CT Pallas eval fast path (models/fast_path.py)
+    remat: str = "none"  # HBM capacity ladder (train/capacity.py)
 
     # ------------------------------------------------------------------ config
 
@@ -110,6 +111,7 @@ class MimoUnetTask:
             use_pooling_indices=False,
             compute_dtype=self.compute_dtype,
             ct_kernels=self.ct_kernels,
+            remat=self.remat,
         )
 
     @property
