@@ -140,9 +140,17 @@ def down_apply(
     dropout_key: Optional[jax.Array] = None,
     mc_dropout: bool = False,
     compute_dtype=None,
+    pre_pooled: bool = False,
 ):
-    """Returns ((y, indices_or_None), new_state)."""
-    if use_pooling_indices:
+    """Returns ((y, indices_or_None), new_state).
+
+    ``pre_pooled``: ``x`` is already the pooled tensor (the caller pooled
+    it via ``max_pool_2x2_skip`` to fuse a skip consumer's cotangent into
+    the pool backward — see core_apply)."""
+    if pre_pooled:
+        assert not use_pooling_indices
+        y, indices = x, None
+    elif use_pooling_indices:
         y, indices = max_pool_2x2_with_indices(x)
     else:
         y, indices = max_pool_2x2(x), None

@@ -1080,9 +1080,16 @@ def _per_image_affine(sc, sh, m):
 
 
 def _enc_train_local(enc_p, enc_s, x, k_enc, *, cfg, cnt_full, cnt_half,
-                     interpret, axis):
+                     interpret, axis, bpool=False):
     """Per-device train encoder: x [b, S, H, W, Cin] ->
     (x1s [fa, S, b, H, W], x2s [f2a, S, b, H/2, W/2], new_enc_state).
+
+    ``bpool``: also CT-pool the down1 output (the core boundary's 2x2 max
+    pool, reference components.py:48 via the core's down2) with the up3
+    skip cotangent fused into the pool backward, and return
+    (x1s, x2s, x2p [f2a, S, b, H/4, W/4], new_enc) — x2s is then the
+    pool's identity output, so routing the NHWC skip through it folds the
+    skip add into the kernel (see max_pool2x2_skip_ct).
 
     ``cnt_full``/``cnt_half`` are GLOBAL per-group element counts (whole
     mesh batch), so the BatchNorm affines built from the psum'd statistics
@@ -1198,6 +1205,12 @@ def _enc_train_local(enc_p, enc_s, x, k_enc, *, cfg, cnt_full, cnt_half,
             enc_s["down1"]["bn2"])
         x2s = apply_affine(y4, sc4, sh4, f2,
                            drop_key=ks[1] if enc_rate > 0 else None)
+        if bpool:
+            from mimo_unet_tpu.ops.pallas.ct_elem import max_pool2x2_skip_ct
+            x2p, x2s = max_pool2x2_skip_ct(x2s, n, h2, w2, interpret)
+            x2s5 = x2s.reshape(f2a, s, b, h2, w2)
+            x2p5 = x2p.reshape(f2a, s, b, h2 // 2, w2 // 2)
+            return (x1s.reshape(fa, s, b, h, w), x2s5, x2p5, new_enc)
         x2s5 = x2s.reshape(f2a, s, b, h2, w2)
     else:
         # ---- down1 (NHWC fallback, half width unaligned: 640x480 frames) ---
@@ -1413,8 +1426,18 @@ def mimo_unet_apply_ct_train(
     # match it bitwise for a shared rng
     k_enc, k_core, k_dec = jax.random.split(rng, 3)
 
+    # CT boundary pool: pool the down1 output (the core down2's 2x2 max
+    # pool) in the kernels' native CT tiling, with up3's skip cotangent
+    # fused into the pool backward (one kernel pass instead of
+    # reduce_window fwd + eq-mask/add glue bwd at half resolution).
+    from mimo_unet_tpu.ops.pallas.ct_elem import pool_skip_ct_supported
+    b_local = b if mesh is None else b // mesh.shape[axis]
+    f2a = align8(f2)
+    bpool = (_ct_train_down1_aligned(h, w)
+             and pool_skip_ct_supported(f2a, s * b_local, h // 2, w // 2))
     enc = partial(_enc_train_local, cfg=cfg, cnt_full=cnt_full,
-                  cnt_half=cnt_half, interpret=interpret, axis=axis)
+                  cnt_half=cnt_half, interpret=interpret, axis=axis,
+                  bpool=bpool)
     dec = partial(_dec_train_local, cfg=cfg, cnt_full=cnt_full,
                   interpret=interpret, axis=axis)
     # HBM capacity ladder (MimoUNetConfig.remat / train/capacity.py):
@@ -1428,28 +1451,40 @@ def mimo_unet_apply_ct_train(
         dec = jax.checkpoint(dec)
 
     if mesh is None:
-        x1s5, x2s5, new_enc = enc(params["encoder"], state["encoder"], x,
-                                  k_enc)
+        enc_out = enc(params["encoder"], state["encoder"], x, k_enc)
     else:
-        x1s5, x2s5, new_enc = jax.shard_map(
+        sharded = P(None, None, axis)
+        out_specs = ((sharded, sharded, sharded, P()) if bpool
+                     else (sharded, sharded, P()))
+        enc_out = jax.shard_map(
             enc, mesh=mesh,
             in_specs=(P(), P(), P(axis), P()),
-            out_specs=(P(None, None, axis), P(None, None, axis), P()),
+            out_specs=out_specs,
             check_vma=False,
         )(params["encoder"], state["encoder"], x, k_enc)
+    if bpool:
+        x1s5, x2s5, x2p5, new_enc = enc_out
+    else:
+        x1s5, x2s5, new_enc = enc_out
+        x2p5 = None
 
     # ---- core (NHWC XLA, train) --------------------------------------------
     h2, w2 = h // 2, w // 2
     x2_concat = jnp.transpose(x2s5[:f2], (2, 3, 4, 1, 0)).reshape(
         b, h2, w2, s * f2)
-    def core_fn(cp, cs, xc, kc):
+    x2_pooled = None
+    if x2p5 is not None:
+        x2_pooled = jnp.transpose(x2p5[:f2], (2, 3, 4, 1, 0)).reshape(
+            b, h2 // 2, w2 // 2, s * f2)
+
+    def core_fn(cp, cs, xc, kc, xp):
         return core_apply(cp, cs, xc, cfg, train=True, rng=kc,
-                          dropout_active=True)
+                          dropout_active=True, x2_pooled=xp)
 
     if cfg.remat == "all":
         core_fn = jax.checkpoint(core_fn)
     x_up, core_st = core_fn(params["core"], state["core"], x2_concat,
-                            k_core)
+                            k_core, x2_pooled)
 
     if mesh is None:
         logits, new_dec = dec(params["decoder"], state["decoder"], x1s5,

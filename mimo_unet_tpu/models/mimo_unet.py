@@ -42,6 +42,7 @@ from mimo_unet_tpu.models.blocks import (
     up_mode,
 )
 from mimo_unet_tpu.ops import dropout
+from mimo_unet_tpu.ops.pooling import max_pool_2x2_skip
 
 
 @dataclasses.dataclass(frozen=True)
@@ -299,46 +300,72 @@ def core_apply(
     rng: jax.Array,
     mc_dropout: bool = False,
     dropout_active: bool = False,
+    x2_pooled: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, dict]:
     """Shared core (down2..up3, reference model.py:178-243): the NHWC
-    section between the per-subnetwork encoder concat and the decoders."""
+    section between the per-subnetwork encoder concat and the decoders.
+
+    ``x2_pooled``: down2's pool input already pooled by the caller (the CT
+    train path pools the boundary in the kernels' native layout with the
+    up3 skip cotangent fused — see fast_path._enc_train_local(bpool)); the
+    skip-add fusion then lives upstream and ``x2_concat`` is only up3's
+    skip."""
     cdt = cfg._compute_dtype
     kc = jax.random.split(rng, 7)
     core_st = {}
+    # Each Down input here also feeds an Up block's skip; pooling through
+    # max_pool_2x2_skip and routing the skip consumer through the returned
+    # identity fuses the two consumers' cotangent add into the pool
+    # backward's mask fusion (ops/pooling.py).  Indices mode keeps the
+    # in-block pool (the unpool path needs them).
+    fuse_skip = not cfg.use_pooling_indices
+
+    def _pool_skip(x):
+        if fuse_skip:
+            return max_pool_2x2_skip(x)
+        return x, x
+
+    if x2_pooled is not None:
+        p2, x2_id, d2_prepooled = x2_pooled, x2_concat, True
+    else:
+        p2, x2_id = _pool_skip(x2_concat)
+        d2_prepooled = fuse_skip
     (x3, ind3), core_st["down2"] = down_apply(
-        params["down2"], state["down2"], x2_concat, train=train,
+        params["down2"], state["down2"], p2, train=train,
         use_pooling_indices=cfg.use_pooling_indices,
         dropout_rate=cfg.core_dropout_rate, dropout_key=kc[0],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
+        mc_dropout=mc_dropout, compute_dtype=cdt, pre_pooled=d2_prepooled,
     )
+    p3, x3_id = _pool_skip(x3)
     (x4, ind4), core_st["down3"] = down_apply(
-        params["down3"], state["down3"], x3, train=train,
+        params["down3"], state["down3"], p3, train=train,
         use_pooling_indices=cfg.use_pooling_indices,
         dropout_rate=cfg.core_dropout_rate, dropout_key=kc[1],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
+        mc_dropout=mc_dropout, compute_dtype=cdt, pre_pooled=fuse_skip,
     )
+    p4, x4_id = _pool_skip(x4)
     (x5, ind5), core_st["down4"] = down_apply(
-        params["down4"], state["down4"], x4, train=train,
+        params["down4"], state["down4"], p4, train=train,
         use_pooling_indices=cfg.use_pooling_indices,
         dropout_rate=cfg.core_dropout_rate, dropout_key=kc[2],
-        mc_dropout=mc_dropout, compute_dtype=cdt,
+        mc_dropout=mc_dropout, compute_dtype=cdt, pre_pooled=fuse_skip,
     )
     x5 = dropout(x5, cfg.center_dropout_rate, kc[3],
                  deterministic=not dropout_active)
     x_up, core_st["up1"] = up_apply(
-        params["up1"], state["up1"], x5, x4, ind5,
+        params["up1"], state["up1"], x5, x4_id, ind5,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[4], mc_dropout=mc_dropout, compute_dtype=cdt,
         split_skip_conv=True,
     )
     x_up, core_st["up2"] = up_apply(
-        params["up2"], state["up2"], x_up, x3, ind4,
+        params["up2"], state["up2"], x_up, x3_id, ind4,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[5], mc_dropout=mc_dropout, compute_dtype=cdt,
         split_skip_conv=True,
     )
     x_up, core_st["up3"] = up_apply(
-        params["up3"], state["up3"], x_up, x2_concat, ind3,
+        params["up3"], state["up3"], x_up, x2_id, ind3,
         mode=cfg.mode, train=train, dropout_rate=cfg.core_dropout_rate,
         dropout_key=kc[6], mc_dropout=mc_dropout, compute_dtype=cdt,
         split_skip_conv=True,

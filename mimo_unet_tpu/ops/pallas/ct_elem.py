@@ -269,8 +269,13 @@ def _pool_tr(c: int, n: int, h: int, w: int, skip: bool = False):
 
 
 def pool_ct_supported(c: int, n: int, h: int, w: int) -> bool:
-    return (w % 256 == 0 and h % 2 == 0
-            and _pool_tr(c, n, h, w) is not None)
+    """w down to 128 qualifies (the core-boundary 128x128 pool): blocks
+    stay lane-block aligned as long as the out block tr*(w//2) is a
+    multiple of 128, which the tr check enforces."""
+    if w % 128 != 0 or h % 2 != 0:
+        return False
+    tr = _pool_tr(c, n, h, w)
+    return tr is not None and (tr * (w // 2)) % 128 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -396,8 +401,10 @@ max_pool2x2_ct.defvjp(_pool_ct_fwd, _pool_ct_bwd)
 
 
 def pool_skip_ct_supported(c: int, n: int, h: int, w: int) -> bool:
-    return (pool_ct_supported(c, n, h, w)
-            and _pool_tr(c, n, h, w, skip=True) is not None)
+    if not pool_ct_supported(c, n, h, w):
+        return False
+    tr = _pool_tr(c, n, h, w, skip=True)
+    return tr is not None and (tr * (w // 2)) % 128 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

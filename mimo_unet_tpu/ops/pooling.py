@@ -70,6 +70,43 @@ def _max_pool_2x2_bwd(res, g):
 max_pool_2x2.defvjp(_max_pool_2x2_fwd, _max_pool_2x2_bwd)
 
 
+@jax.custom_vjp
+def max_pool_2x2_skip(x: jax.Array):
+    """(pooled, skip=x) for a tensor consumed by BOTH a 2x2 max pool and a
+    skip connection (the U-Net Down inputs that the Up blocks also read,
+    reference model.py:178-243).
+
+    Forward is ``max_pool_2x2`` plus an identity.  The value is the
+    backward: routing the skip consumer through the returned identity lets
+    the skip cotangent fold into the pool's equality-mask fusion
+    (``mask * g_up + g_skip`` in one XLA pass), so the full-resolution
+    ``add_any`` merge of the two consumers' cotangents — three HBM passes
+    over the skip tensor — never materializes.  Gradients are exactly the
+    unfused pair's (tests/test_ops.py)."""
+    return _max_pool_2x2_fwd_value(x), x
+
+
+def _max_pool_2x2_skip_fwd(x):
+    y = _max_pool_2x2_fwd_value(x)
+    return (y, x), (x, y)
+
+
+def _max_pool_2x2_skip_bwd(res, gs):
+    x, y = res
+    g, g_skip = gs
+    b, h, w, c = x.shape
+    he, we = h - h % 2, w - w % 2
+    xw = x[:, :he, :we, :].reshape(b, he // 2, 2, we // 2, 2, c)
+    mask = (xw == y[:, :, None, :, None, :]).astype(g.dtype)
+    gx = (mask * g[:, :, None, :, None, :]).reshape(b, he, we, c)
+    if (he, we) != (h, w):
+        gx = jnp.pad(gx, ((0, 0), (0, h - he), (0, w - we), (0, 0)))
+    return (gx + g_skip.astype(gx.dtype),)
+
+
+max_pool_2x2_skip.defvjp(_max_pool_2x2_skip_fwd, _max_pool_2x2_skip_bwd)
+
+
 def _as_windows(x: jax.Array):
     """[B,H,W,C] -> [B,H/2,W/2,C,4] where the last axis enumerates the 2x2
     window in row-major order (matching torch's flat-index order)."""

@@ -195,6 +195,29 @@ class TestPooling:
             np.asarray(flat), to_nhwc(tidx).astype(np.int64)
         )
 
+    def test_max_pool_skip_grads_match_unfused(self, rng):
+        """max_pool_2x2_skip: forward == (max_pool_2x2(x), x) and the
+        fused backward (skip add folded into the mask fusion) equals the
+        unfused pair's gradient bitwise."""
+        from mimo_unet_tpu.ops.pooling import max_pool_2x2_skip
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 10, 3), dtype=np.float32))
+        wp = jnp.asarray(rng.standard_normal((3,), dtype=np.float32))
+        ws = jnp.asarray(rng.standard_normal((3,), dtype=np.float32))
+
+        def fused(x):
+            p, s = max_pool_2x2_skip(x)
+            return jnp.sum(p * p * wp) + jnp.sum(jnp.tanh(s) * ws)
+
+        def unfused(x):
+            return (jnp.sum(max_pool_2x2(x) ** 2 * wp)
+                    + jnp.sum(jnp.tanh(x) * ws))
+
+        vf, gf = jax.value_and_grad(fused)(x)
+        vu, gu = jax.value_and_grad(unfused)(x)
+        np.testing.assert_allclose(float(vf), float(vu), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(gf), np.asarray(gu))
+
     def test_unpool_roundtrip_matches_torch(self, rng):
         x = rng.standard_normal((2, 6, 8, 4), dtype=np.float32)
         pooled, idx = max_pool_2x2_with_indices(jnp.asarray(x))
