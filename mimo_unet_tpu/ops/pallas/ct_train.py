@@ -62,40 +62,42 @@ from mimo_unet_tpu.ops.pallas.ct_conv import (
 # forward
 
 
-def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                      interpret, x2_half=0):
-    """Single 3x3 reflect conv over th output rows; col part dy position
-    p (of th) holds input flat row i*th - 1 + dy + p.
+def _norm_th(th):
+    """Normalize a tile pick to (th, sub) — int means sub=1."""
+    return th if isinstance(th, tuple) else (th, 1)
 
-    ``x2_half``: H/2 — x2 arrives at half height with only the W-half of
-    its bilinear x2 upsample applied; the H row lerp is staged in VMEM
-    (same math as fused_double_conv_ct(x2_half_h), ct_conv.py)."""
-    c1a = align8(c1)
-    c2a = align8(c2) if c2 else 0
-    cp = c1a + c2a
-    oa = align8(o)
-    h = tpi * th
 
-    def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
-        def z_of(v):
-            if not prologue:
-                return v
-            a = v.astype(jnp.float32) * sc[0:c] + sh[0:c]
-            return jnp.maximum(a, 0.0).astype(v.dtype)
+def _build_train_cols(col, x_ref, z_of, *, cp, base, c, w, th, clamped,
+                      first_img, last_img, q0=0, ln=None):
+    """Chunked column build shared by the train fwd/dw kernels.
 
-        @pl.when(jnp.logical_not(clamped))
-        def _():
-            for dy in range(3):
-                col[dy * cp + base:dy * cp + base + c] = z_of(
-                    x_ref[:, (3 + dy) * w:(3 + dy + th) * w])
+    Positions [q0, q0+ln) of the tile's th are written at col lane rows
+    [0, ln*w): part dy position p holds input flat row i*th - 1 + dy +
+    q0 + p (generic slab row 3+dy+q0+p; clamped slab — tile 0 — row
+    q0+p-1+dy).  Reflect-row fixes (image row -1 -> row 1, row H -> row
+    H-2) apply only when their position falls inside the window.
+    q0=0/ln=th is the original whole-tile build; sub-tile chunks let
+    th=64 run with chunk-sized col/ys scratches (the per-grid-step fixed
+    cost amortizes over the deeper tile — same scheme as the eval
+    kernels' (th, sub) rungs, ct_conv.py _build_cols)."""
+    ln = th if ln is None else ln
+    q1 = q0 + ln
 
+    @pl.when(jnp.logical_not(clamped))
+    def _():
+        for dy in range(3):
+            col[dy * cp + base:dy * cp + base + c, 0:ln * w] = z_of(
+                x_ref[:, (3 + dy + q0) * w:(3 + dy + q0 + ln) * w])
+
+    if q0 == 0:
         @pl.when(clamped)
         def _():
-            # slab row s = flat row s; part dy covers rows [dy-1, dy-1+th)
-            col[base:base + c, w:th * w] = z_of(x_ref[:, 0:(th - 1) * w])
-            col[cp + base:cp + base + c, 0:th * w] = z_of(x_ref[:, 0:th * w])
-            col[2 * cp + base:2 * cp + base + c, 0:th * w] = z_of(
-                x_ref[:, w:(th + 1) * w])
+            # slab row s = flat row s; part dy covers rows [dy-1, dy-1+ln)
+            col[base:base + c, w:ln * w] = z_of(x_ref[:, 0:(ln - 1) * w])
+            col[cp + base:cp + base + c, 0:ln * w] = z_of(
+                x_ref[:, 0:ln * w])
+            col[2 * cp + base:2 * cp + base + c, 0:ln * w] = z_of(
+                x_ref[:, w:(ln + 1) * w])
 
         # input row -1 (part dy=0 position 0) -> reflect row 1
         @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
@@ -105,17 +107,54 @@ def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
         @pl.when(clamped)
         def _():
             col[base:base + c, 0:w] = z_of(x_ref[:, w:2 * w])
+    else:
+        @pl.when(clamped)
+        def _():
+            for dy in range(3):
+                col[dy * cp + base:dy * cp + base + c, 0:ln * w] = z_of(
+                    x_ref[:, (q0 - 1 + dy) * w:(q0 - 1 + dy + ln) * w])
 
+    if q0 <= th - 1 < q1:
+        j = th - 1 - q0
         # input row H (part dy=2 position th-1) -> reflect row H-2
         @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
         def _():
-            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+            col[2 * cp + base:2 * cp + base + c, j * w:(j + 1) * w] = z_of(
                 x_ref[:, (th + 2) * w:(th + 3) * w])
 
         @pl.when(jnp.logical_and(last_img, clamped))
         def _():
-            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
+            col[2 * cp + base:2 * cp + base + c, j * w:(j + 1) * w] = z_of(
                 x_ref[:, (th - 2) * w:(th - 1) * w])
+
+
+def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
+                      interpret, x2_half=0, sub=1):
+    """Single 3x3 reflect conv over th output rows; col part dy position
+    p (of th) holds input flat row i*th - 1 + dy + p.
+
+    ``x2_half``: H/2 — x2 arrives at half height with only the W-half of
+    its bilinear x2 upsample applied; the H row lerp is staged in VMEM
+    (same math as fused_double_conv_ct(x2_half_h), ct_conv.py).
+
+    ``sub``: in-kernel chunk count — col/ys are sized for tc = th/sub
+    rows; each chunk builds, dots, combines and emits its tc rows, with
+    the statistics accumulating across chunks (f32 add order differs
+    from sub=1 by the partial-sum split only)."""
+    c1a = align8(c1)
+    c2a = align8(c2) if c2 else 0
+    cp = c1a + c2a
+    oa = align8(o)
+    h = tpi * th
+    tc = th // sub
+
+    def z_maker(sc, sh, c):
+        def z_of(v):
+            if not prologue:
+                return v
+            a = v.astype(jnp.float32) * sc[0:c] + sh[0:c]
+            return jnp.maximum(a, 0.0).astype(v.dtype)
+        return z_of
 
     def kernel(*refs):
         refs = list(refs)
@@ -128,52 +167,61 @@ def _fwd_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
-        build(col, x1_ref, 0, c1, i == 0, first_img, last_img,
-              sc_ref, sh_ref)
-        if c1a > c1:
-            for dy in range(3):
-                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
-                    (c1a - c1, th * w), col.dtype)
-        if c2:
-            if x2_half:
-                _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
-                               bt2=bt2, h=h, h2=x2_half)
-                x2_ref = x2s
-            build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
-                  sc_ref, sh_ref)
-            if c2a > c2:
-                for dy in range(3):
-                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
-                        (c2a - c2, th * w), col.dtype)
-
-        ys[...] = jax.lax.dot_general(
-            w_ref[:], col[...],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        first, last = _edge_masks(w, th * w)
-        y0 = ys[0:o, :]
-        y1 = ys[oa:oa + o, :]
-        y2 = ys[2 * oa:2 * oa + o, :]
-        left = jnp.where(first, _roll(y0, -1, interpret),
-                         _roll(y0, 1, interpret))
-        right = jnp.where(last, _roll(y2, 1, interpret),
-                          _roll(y2, -1, interpret))
-        y = left + y1 + right
-        yc = y.astype(out_dtype)
-        y_ref[0:o, :] = yc
-        if oa > o:
-            y_ref[o:oa, :] = jnp.zeros((oa - o, th * w), out_dtype)
+        if c2 and x2_half:
+            _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
+                           bt2=bt2, h=h, h2=x2_half)
+            x2_ref = x2s
 
         @pl.when((i % gt) == 0)
         def _():
             sum_ref[...] = jnp.zeros_like(sum_ref)
             ssq_ref[...] = jnp.zeros_like(ssq_ref)
 
-        # statistics of the *cast* output (what the XLA BatchNorm reads)
-        yf = yc.astype(jnp.float32)
-        sum_ref[0:o, :] += jnp.sum(yf, axis=1, keepdims=True)
-        ssq_ref[0:o, :] += jnp.sum(yf * yf, axis=1, keepdims=True)
+        for s_ in range(sub):
+            q0 = s_ * tc
+            _build_train_cols(
+                col, x1_ref, z_maker(sc_ref, sh_ref, c1), cp=cp, base=0,
+                c=c1, w=w, th=th, clamped=i == 0, first_img=first_img,
+                last_img=last_img, q0=q0, ln=tc)
+            if c1a > c1:
+                for dy in range(3):
+                    col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
+                        (c1a - c1, tc * w), col.dtype)
+            if c2:
+                _build_train_cols(
+                    col, x2_ref, z_maker(sc_ref, sh_ref, c2), cp=cp,
+                    base=c1a, c=c2, w=w, th=th, clamped=(i % bt2) == 0,
+                    first_img=first_img, last_img=last_img, q0=q0, ln=tc)
+                if c2a > c2:
+                    for dy in range(3):
+                        col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
+                            (c2a - c2, tc * w), col.dtype)
+
+            ys[...] = jax.lax.dot_general(
+                w_ref[:], col[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            first, last = _edge_masks(w, tc * w)
+            y0 = ys[0:o, :]
+            y1 = ys[oa:oa + o, :]
+            y2 = ys[2 * oa:2 * oa + o, :]
+            left = jnp.where(first, _roll(y0, -1, interpret),
+                             _roll(y0, 1, interpret))
+            right = jnp.where(last, _roll(y2, 1, interpret),
+                              _roll(y2, -1, interpret))
+            y = left + y1 + right
+            yc = y.astype(out_dtype)
+            y_ref[0:o, q0 * w:(q0 + tc) * w] = yc
+            if oa > o:
+                y_ref[o:oa, q0 * w:(q0 + tc) * w] = jnp.zeros(
+                    (oa - o, tc * w), out_dtype)
+
+            # statistics of the *cast* output (what the XLA BatchNorm
+            # reads)
+            yf = yc.astype(jnp.float32)
+            sum_ref[0:o, :] += jnp.sum(yf, axis=1, keepdims=True)
+            ssq_ref[0:o, :] += jnp.sum(yf * yf, axis=1, keepdims=True)
 
     return kernel
 
@@ -234,6 +282,8 @@ def _gspec(shape, gt):
 
 def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
               prologue, interpret, x2_half_h=False):
+    th, sub = _norm_th(th)
+    tc = th // sub
     total = x1.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -247,7 +297,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     kern = _fwd_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
         prologue=prologue, out_dtype=x1.dtype, interpret=interpret,
-        x2_half=h2 if (c2 and x2_half_h) else 0)
+        x2_half=h2 if (c2 and x2_half_h) else 0, sub=sub)
 
     in_specs = [_x_spec(c1, th, w, n_tiles)]
     operands = [x1]
@@ -268,6 +318,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     y, s, q = pl.pallas_call(
         kern,
         name=f"tr_fwd_c{c1}x{c2}o{o}_th{th}w{w}"
+             f"{f's{sub}' if sub > 1 else ''}"
              f"{'hh' if (c2 and x2_half_h) else ''}",
         grid=(n_tiles,),
         in_specs=in_specs,
@@ -285,8 +336,8 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
             jax.ShapeDtypeStruct((g, oa, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * cp, th * w), x1.dtype),
-            pltpu.VMEM((3 * oa, th * w), jnp.float32),
+            pltpu.VMEM((3 * cp, tc * w), x1.dtype),
+            pltpu.VMEM((3 * oa, tc * w), jnp.float32),
         ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
              if (c2 and x2_half_h) else []),
         interpret=interpret,
@@ -299,7 +350,7 @@ def _conv_fwd(x1, x2, wp, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
 
 def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
-                     interpret, chunks=None, fold_grp=0):
+                     interpret, chunks=None, fold_grp=0, sub=1):
     """dz = transpose of (reflect-pad + 3x3 conv) applied to g, then the
     prologue's relu/affine backward.  g col part dy position p (of th+2)
     holds g flat row i*th + p - dy (zero outside the image, with the
@@ -310,12 +361,20 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
     rows accumulate across the grp repetitions in an f32 scratch (bf16
     round-trip per step — bitwise the external slice-add fold) and are
     written once per tile to a separate [c2a, n2_total] output.  Requires
-    prologue=False (the only train case with c2 — decoder conv1)."""
+    prologue=False (the only train case with c2 — decoder conv1).
+
+    ``sub``: in-kernel chunk count — chunk s computes dz rows
+    [s*tc, (s+1)*tc) from col positions [s*tc, s*tc+tc+2) (two-row
+    overlap re-read between chunks), with col/ys sized for tc+2 rows.
+    Edge zeros and the in-column reflect folds apply in EVERY chunk
+    whose window contains their position."""
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     oa = align8(o)
     r1 = th + 2
+    tc = th // sub
+    ln = tc + 2  # col positions per chunk
     chunks = chunks or ((0, cp),)
     fold = fold_grp > 0
     assert not (fold and prologue)
@@ -337,53 +396,6 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
-        # ---- col: g parts (generic slab row = 4 + p - dy)
-        @pl.when(i > 0)
-        def _():
-            for dy in range(3):
-                col[dy * oa:(dy + 1) * oa] = (
-                    g_ref[:, (4 - dy) * w:(4 - dy + r1) * w])
-
-        @pl.when(i == 0)
-        def _():
-            # clamped slab: slab row s = flat row s
-            col[0:oa, 0:r1 * w] = g_ref[:, 0:r1 * w]
-            col[oa:2 * oa, w:r1 * w] = g_ref[:, 0:(r1 - 1) * w]
-            col[2 * oa:3 * oa, 2 * w:r1 * w] = g_ref[:, 0:(r1 - 2) * w]
-
-        # zero-pad edges: g rows outside this image contribute nothing
-        @pl.when(first_img)
-        def _():
-            col[oa:2 * oa, 0:w] = jnp.zeros((oa, w), col.dtype)    # dy=1 p=0
-            col[2 * oa:3 * oa, 0:2 * w] = jnp.zeros((oa, 2 * w),
-                                                    col.dtype)     # dy=2 p<2
-
-        @pl.when(last_img)
-        def _():
-            col[0:oa, th * w:r1 * w] = jnp.zeros((oa, 2 * w), col.dtype)
-            col[oa:2 * oa, (th + 1) * w:r1 * w] = jnp.zeros((oa, w),
-                                                            col.dtype)
-
-        # reflect folds (H): dz row 1 += w[0]^T g[row 0]; row H-2 += w[2]^T
-        # g[row H-1] -> in-column adds at part0 p=2 / part2 p=th-1
-        @pl.when(jnp.logical_and(first_img, i > 0))
-        def _():
-            col[0:oa, 2 * w:3 * w] += g_ref[:, 4 * w:5 * w]
-
-        @pl.when(i == 0)
-        def _():
-            col[0:oa, 2 * w:3 * w] += g_ref[:, 0:w]
-
-        @pl.when(jnp.logical_and(last_img, i > 0))
-        def _():
-            col[2 * oa:3 * oa, (th - 1) * w:th * w] += (
-                g_ref[:, (th + 3) * w:(th + 4) * w])
-
-        @pl.when(jnp.logical_and(last_img, i == 0))
-        def _():
-            col[2 * oa:3 * oa, (th - 1) * w:th * w] += (
-                g_ref[:, (th - 1) * w:th * w])
-
         if prologue:
             @pl.when((i % gt) == 0)
             def _():
@@ -395,72 +407,148 @@ def _dx_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, out_dtype,
                 dsc_ref[...] = jnp.zeros_like(dsc_ref)
                 dsh_ref[...] = jnp.zeros_like(dsh_ref)
 
-        # ---- W combine with zero edges + reflect folds, on full planes.
-        # ``chunks`` splits the dz channel rows so the f32 ys scratch holds
-        # 3*cps rows instead of 3*cp — wide stages (decoder conv1, cp=72)
-        # then fit a deeper tile.  The permuted wt operand holds chunk ch's
-        # three dy parts contiguously (see _conv_dx).
-        first, last = _edge_masks(w, r1 * w)
-        is1 = _col_eq(w, r1 * w, 1)
-        isw2 = _col_eq(w, r1 * w, w - 2)
+        first, last = _edge_masks(w, ln * w)
+        is1 = _col_eq(w, ln * w, 1)
+        isw2 = _col_eq(w, ln * w, w - 2)
         zero = jnp.zeros((1, 1), jnp.float32)
-        woff = 0
-        for c0, cps in chunks:
-            ys[0:3 * cps, :] = jax.lax.dot_general(
-                wt_ref[:, woff:woff + 3 * cps], col[...],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            woff += 3 * cps
-            v0 = ys[0:cps, :]
-            v1 = ys[cps:2 * cps, :]
-            v2 = ys[2 * cps:3 * cps, :]
-            dz_full = (
-                jnp.where(last, zero, _roll(v0, -1, interpret))
-                + v1
-                + jnp.where(first, zero, _roll(v2, 1, interpret))
-                + jnp.where(is1, _roll(v0, 1, interpret), zero)
-                + jnp.where(isw2, _roll(v2, -1, interpret), zero)
-            )
-            dz = dz_full[:, w:(th + 1) * w]
 
-            if prologue:
-                # prologue inputs arrive as SEPARATE x1/x2 blocks (rows
-                # [0, c1a) from x1, [c1a, cp) from x2) — materializing
-                # the tiled concat in HBM cost ~4 GB of traffic per step
-                # at the flagship decoder.  Chunks may span the boundary:
-                # apply the relu/affine backward per row segment.
-                segs = []
-                if c0 < c1a:
-                    segs.append((c0, min(c0 + cps, c1a), x1_ref, 0))
-                if c2 and c0 + cps > c1a:
-                    segs.append((max(c0, c1a), c0 + cps, x2_ref, c1a))
-                for lo, hi, ref, off in segs:
-                    xv = ref[lo - off:hi - off].astype(jnp.float32)
-                    scs = sc_ref[lo:hi]
-                    a = xv * scs + sh_ref[lo:hi]
-                    da = jnp.where(a > 0.0, dz[lo - c0:hi - c0], 0.0)
-                    dx_ref[lo:hi] = (da * scs).astype(out_dtype)
-                    dsc_ref[lo:hi] += jnp.sum(da * xv, axis=1,
-                                              keepdims=True)
-                    dsh_ref[lo:hi] += jnp.sum(da, axis=1, keepdims=True)
-            elif fold:
-                lo1, hi1 = c0, min(c0 + cps, c1a)
-                if hi1 > lo1:
-                    dx_ref[lo1:hi1] = dz[lo1 - c0:hi1 - c0].astype(out_dtype)
-                lo2, hi2 = max(c0, c1a), c0 + cps
-                if hi2 > lo2:
-                    val = dz[lo2 - c0:hi2 - c0].astype(out_dtype).astype(
-                        jnp.float32)
+        for s_ in range(sub):
+            q0 = s_ * tc  # global col position of chunk window start
 
-                    @pl.when(r_id == 0)
-                    def _(val=val, lo2=lo2, hi2=hi2):
-                        acc[lo2 - c1a:hi2 - c1a] = val
+            # ---- col: g parts (generic slab row = 4 + p - dy)
+            @pl.when(i > 0)
+            def _(q0=q0):
+                for dy in range(3):
+                    col[dy * oa:(dy + 1) * oa, 0:ln * w] = (
+                        g_ref[:, (4 - dy + q0) * w:(4 - dy + q0 + ln) * w])
 
-                    @pl.when(r_id > 0)
-                    def _(val=val, lo2=lo2, hi2=hi2):
-                        acc[lo2 - c1a:hi2 - c1a] += val
+            if q0 == 0:
+                @pl.when(i == 0)
+                def _():
+                    # clamped slab: slab row s = flat row s
+                    col[0:oa, 0:ln * w] = g_ref[:, 0:ln * w]
+                    col[oa:2 * oa, w:ln * w] = g_ref[:, 0:(ln - 1) * w]
+                    col[2 * oa:3 * oa, 2 * w:ln * w] = g_ref[
+                        :, 0:(ln - 2) * w]
             else:
-                dx_ref[c0:c0 + cps] = dz.astype(out_dtype)
+                @pl.when(i == 0)
+                def _(q0=q0):
+                    for dy in range(3):
+                        col[dy * oa:(dy + 1) * oa, 0:ln * w] = (
+                            g_ref[:, (q0 - dy) * w:(q0 - dy + ln) * w])
+
+            # zero-pad edges: g rows outside this image contribute nothing
+            if q0 == 0:
+                @pl.when(first_img)
+                def _():
+                    col[oa:2 * oa, 0:w] = jnp.zeros((oa, w),
+                                                    col.dtype)  # dy=1 p=0
+                    col[2 * oa:3 * oa, 0:2 * w] = jnp.zeros(
+                        (oa, 2 * w), col.dtype)                 # dy=2 p<2
+
+            if q0 <= th < q0 + ln:  # positions th / th+1 in-window
+                j = th - q0
+                @pl.when(last_img)
+                def _(j=j):
+                    col[0:oa, j * w:ln * w] = jnp.zeros(
+                        (oa, (ln - j) * w), col.dtype)
+                    if j + 1 < ln:
+                        col[oa:2 * oa, (j + 1) * w:ln * w] = jnp.zeros(
+                            (oa, (ln - j - 1) * w), col.dtype)
+
+            # reflect folds (H): dz row 1 += w[0]^T g[row 0]; row H-2 +=
+            # w[2]^T g[row H-1] -> in-column adds at part0 p=2 / part2
+            # p=th-1 (in every chunk window containing the position)
+            if q0 <= 2 < q0 + ln:
+                j = 2 - q0
+                @pl.when(jnp.logical_and(first_img, i > 0))
+                def _(j=j):
+                    col[0:oa, j * w:(j + 1) * w] += g_ref[:, 4 * w:5 * w]
+
+                @pl.when(i == 0)
+                def _(j=j):
+                    col[0:oa, j * w:(j + 1) * w] += g_ref[:, 0:w]
+
+            if q0 <= th - 1 < q0 + ln:
+                j = th - 1 - q0
+                @pl.when(jnp.logical_and(last_img, i > 0))
+                def _(j=j):
+                    col[2 * oa:3 * oa, j * w:(j + 1) * w] += (
+                        g_ref[:, (th + 3) * w:(th + 4) * w])
+
+                @pl.when(jnp.logical_and(last_img, i == 0))
+                def _(j=j):
+                    col[2 * oa:3 * oa, j * w:(j + 1) * w] += (
+                        g_ref[:, (th - 1) * w:th * w])
+
+            # ---- W combine with zero edges + reflect folds, on chunk
+            # planes.  ``chunks`` splits the dz channel rows so the f32 ys
+            # scratch holds 3*cps rows instead of 3*cp — wide stages
+            # (decoder conv1, cp=72) then fit a deeper tile.  The permuted
+            # wt operand holds chunk ch's three dy parts contiguously
+            # (see _conv_dx).
+            woff = 0
+            osl_g = slice(q0 * w, (q0 + tc) * w)  # output lanes of chunk
+            for c0, cps in chunks:
+                ys[0:3 * cps, :] = jax.lax.dot_general(
+                    wt_ref[:, woff:woff + 3 * cps], col[...],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                woff += 3 * cps
+                v0 = ys[0:cps, :]
+                v1 = ys[cps:2 * cps, :]
+                v2 = ys[2 * cps:3 * cps, :]
+                dz_full = (
+                    jnp.where(last, zero, _roll(v0, -1, interpret))
+                    + v1
+                    + jnp.where(first, zero, _roll(v2, 1, interpret))
+                    + jnp.where(is1, _roll(v0, 1, interpret), zero)
+                    + jnp.where(isw2, _roll(v2, -1, interpret), zero)
+                )
+                dz = dz_full[:, w:(tc + 1) * w]
+
+                if prologue:
+                    # prologue inputs arrive as SEPARATE x1/x2 blocks
+                    # (rows [0, c1a) from x1, [c1a, cp) from x2) —
+                    # materializing the tiled concat in HBM cost ~4 GB of
+                    # traffic per step at the flagship decoder.  Chunks
+                    # may span the boundary: apply the relu/affine
+                    # backward per row segment.
+                    segs = []
+                    if c0 < c1a:
+                        segs.append((c0, min(c0 + cps, c1a), x1_ref, 0))
+                    if c2 and c0 + cps > c1a:
+                        segs.append((max(c0, c1a), c0 + cps, x2_ref, c1a))
+                    for lo, hi, ref, off in segs:
+                        xv = ref[lo - off:hi - off, osl_g].astype(
+                            jnp.float32)
+                        scs = sc_ref[lo:hi]
+                        a = xv * scs + sh_ref[lo:hi]
+                        da = jnp.where(a > 0.0, dz[lo - c0:hi - c0], 0.0)
+                        dx_ref[lo:hi, osl_g] = (da * scs).astype(out_dtype)
+                        dsc_ref[lo:hi] += jnp.sum(da * xv, axis=1,
+                                                  keepdims=True)
+                        dsh_ref[lo:hi] += jnp.sum(da, axis=1,
+                                                  keepdims=True)
+                elif fold:
+                    lo1, hi1 = c0, min(c0 + cps, c1a)
+                    if hi1 > lo1:
+                        dx_ref[lo1:hi1, osl_g] = dz[
+                            lo1 - c0:hi1 - c0].astype(out_dtype)
+                    lo2, hi2 = max(c0, c1a), c0 + cps
+                    if hi2 > lo2:
+                        val = dz[lo2 - c0:hi2 - c0].astype(
+                            out_dtype).astype(jnp.float32)
+
+                        @pl.when(r_id == 0)
+                        def _(val=val, lo2=lo2, hi2=hi2, osl_g=osl_g):
+                            acc[lo2 - c1a:hi2 - c1a, osl_g] = val
+
+                        @pl.when(r_id > 0)
+                        def _(val=val, lo2=lo2, hi2=hi2, osl_g=osl_g):
+                            acc[lo2 - c1a:hi2 - c1a, osl_g] += val
+                else:
+                    dx_ref[c0:c0 + cps, osl_g] = dz.astype(out_dtype)
 
         if fold:
             @pl.when(r_id == fold_grp - 1)
@@ -502,6 +590,8 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     repetitions inside the kernel — the tiled [c2a, total] cotangent
     never lands in HBM (1.6 GB write + 1.6 GB read per step at the
     flagship decoder, plus the external slice-add pass)."""
+    th, sub = _norm_th(th)
+    tc = th // sub
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -527,14 +617,14 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
     kern = _dx_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=1, gt=gt,
         prologue=prologue, out_dtype=out_dtype, interpret=interpret,
-        chunks=chunks, fold_grp=grp if fold else 0)
+        chunks=chunks, fold_grp=grp if fold else 0, sub=sub)
 
     if fold:
         return _conv_dx_fold_call(
             kern, g, wtp, scale, shift, th=th, w=w, c1a=c1a,
             c2a=align8(c2), cp=cp, oa=oa, grp=grp, gt=gt, total=total,
             n2_total=fold_n2_total, out_dtype=out_dtype,
-            interpret=interpret, chunks=chunks)
+            interpret=interpret, chunks=chunks, sub=sub)
 
     in_specs = [_x_spec(oa, th, w, n_tiles)]
     operands = [g]
@@ -557,7 +647,8 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
 
     dx, dsc, dsh = pl.pallas_call(
         kern,
-        name=f"tr_dx_c{c1a}x{c2 and align8(c2)}o{oa}_th{th}w{w}",
+        name=f"tr_dx_c{c1a}x{c2 and align8(c2)}o{oa}_th{th}w{w}"
+             f"{f's{sub}' if sub > 1 else ''}",
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(
@@ -574,8 +665,8 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
-            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+            pltpu.VMEM((3 * oa, (tc + 2) * w), g.dtype),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (tc + 2) * w),
                        jnp.float32),
         ],
         interpret=interpret,
@@ -585,7 +676,7 @@ def _conv_dx(g, x1, x2, wtp, scale, shift, *, h, w, th, c1, c2, o, prologue,
 
 def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
                        oa, grp, gt, total, n2_total, out_dtype, interpret,
-                       chunks):
+                       chunks, sub=1):
     """pallas_call plumbing for the period-fold dx grid: (n2_tiles, grp)
     with the group axis minor, so the dx2 output block and its f32
     accumulator stay resident across the grp repetitions of each tile."""
@@ -605,7 +696,8 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
 
     dx1, dx2, dsc, dsh = pl.pallas_call(
         kern,
-        name=f"tr_dxfold_c{c1a}x{c2a}o{oa}_th{th}w{w}",
+        name=f"tr_dxfold_c{c1a}x{c2a}o{oa}_th{th}w{w}"
+             f"{f's{sub}' if sub > 1 else ''}",
         grid=(n2t, grp),
         in_specs=[g_spec, p_spec(wtp.shape[1:]), p_spec(scale.shape[1:]),
                   p_spec(shift.shape[1:])],
@@ -626,8 +718,8 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
             jax.ShapeDtypeStruct((grp, cp, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * oa, (th + 2) * w), g.dtype),
-            pltpu.VMEM((3 * max(c for _, c in chunks), (th + 2) * w),
+            pltpu.VMEM((3 * oa, (th // sub + 2) * w), g.dtype),
+            pltpu.VMEM((3 * max(c for _, c in chunks), (th // sub + 2) * w),
                        jnp.float32),
             pltpu.VMEM((c2a, th * w), jnp.float32),
         ],
@@ -641,50 +733,21 @@ def _conv_dx_fold_call(kern, g, wtp, scale, shift, *, th, w, c1a, c2a, cp,
 
 
 def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
-                     x2_half=0):
+                     x2_half=0, sub=1):
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
     cp = c1a + c2a
     oa = align8(o)
     h = tpi * th
+    tc = th // sub
 
-    def build(col, x_ref, base, c, clamped, first_img, last_img, sc, sh):
+    def z_maker(sc, sh, c):
         def z_of(v):
             if not prologue:
                 return v
             a = v.astype(jnp.float32) * sc[0:c] + sh[0:c]
             return jnp.maximum(a, 0.0).astype(v.dtype)
-
-        @pl.when(jnp.logical_not(clamped))
-        def _():
-            for dy in range(3):
-                col[dy * cp + base:dy * cp + base + c] = z_of(
-                    x_ref[:, (3 + dy) * w:(3 + dy + th) * w])
-
-        @pl.when(clamped)
-        def _():
-            col[base:base + c, w:th * w] = z_of(x_ref[:, 0:(th - 1) * w])
-            col[cp + base:cp + base + c, 0:th * w] = z_of(x_ref[:, 0:th * w])
-            col[2 * cp + base:2 * cp + base + c, 0:th * w] = z_of(
-                x_ref[:, w:(th + 1) * w])
-
-        @pl.when(jnp.logical_and(first_img, jnp.logical_not(clamped)))
-        def _():
-            col[base:base + c, 0:w] = z_of(x_ref[:, 5 * w:6 * w])
-
-        @pl.when(clamped)
-        def _():
-            col[base:base + c, 0:w] = z_of(x_ref[:, w:2 * w])
-
-        @pl.when(jnp.logical_and(last_img, jnp.logical_not(clamped)))
-        def _():
-            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
-                x_ref[:, (th + 2) * w:(th + 3) * w])
-
-        @pl.when(jnp.logical_and(last_img, clamped))
-        def _():
-            col[2 * cp + base:2 * cp + base + c, (th - 1) * w:th * w] = z_of(
-                x_ref[:, (th - 2) * w:(th - 1) * w])
+        return z_of
 
     def kernel(*refs):
         refs = list(refs)
@@ -697,47 +760,54 @@ def _dw_kernel_maker(*, th, w, c1, c2, o, tpi, bt2, gt, prologue, interpret,
         first_img = (i % tpi) == 0
         last_img = (i % tpi) == tpi - 1
 
-        build(col, x1_ref, 0, c1, i == 0, first_img, last_img,
-              sc_ref, sh_ref)
-        if c1a > c1:
-            for dy in range(3):
-                col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
-                    (c1a - c1, th * w), col.dtype)
-        if c2:
-            if x2_half:
-                _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
-                               bt2=bt2, h=h, h2=x2_half)
-                x2_ref = x2s
-            build(col, x2_ref, c1a, c2, (i % bt2) == 0, first_img, last_img,
-                  sc_ref, sh_ref)
-            if c2a > c2:
-                for dy in range(3):
-                    col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
-                        (c2a - c2, th * w), col.dtype)
-
-        # the three dx-variants of g (transpose of the forward W-combine)
-        gval = g_ref[...].astype(jnp.float32)
-        first, last = _edge_masks(w, th * w)
-        is1 = _col_eq(w, th * w, 1)
-        isw2 = _col_eq(w, th * w, w - 2)
-        zero = jnp.zeros((1, 1), jnp.float32)
-        g0 = (jnp.where(last, zero, _roll(gval, -1, interpret))
-              + jnp.where(is1, _roll(gval, 1, interpret), zero))
-        g2 = (jnp.where(first, zero, _roll(gval, 1, interpret))
-              + jnp.where(isw2, _roll(gval, -1, interpret), zero))
-        gv[0:oa, :] = g0.astype(gv.dtype)
-        gv[oa:2 * oa, :] = gval.astype(gv.dtype)
-        gv[2 * oa:3 * oa, :] = g2.astype(gv.dtype)
+        if c2 and x2_half:
+            _stage_x2_half(x2_ref, x2s, i, th=th, w=w, tpi=tpi,
+                           bt2=bt2, h=h, h2=x2_half)
+            x2_ref = x2s
 
         @pl.when((i % gt) == 0)
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        # dw[dy, dx] += col_part_dy . g_variant_dx over the lane axis
-        dw_ref[...] += jax.lax.dot_general(
-            col[...], gv[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        for s_ in range(sub):
+            q0 = s_ * tc
+            _build_train_cols(
+                col, x1_ref, z_maker(sc_ref, sh_ref, c1), cp=cp, base=0,
+                c=c1, w=w, th=th, clamped=i == 0, first_img=first_img,
+                last_img=last_img, q0=q0, ln=tc)
+            if c1a > c1:
+                for dy in range(3):
+                    col[dy * cp + c1:dy * cp + c1a] = jnp.zeros(
+                        (c1a - c1, tc * w), col.dtype)
+            if c2:
+                _build_train_cols(
+                    col, x2_ref, z_maker(sc_ref, sh_ref, c2), cp=cp,
+                    base=c1a, c=c2, w=w, th=th, clamped=(i % bt2) == 0,
+                    first_img=first_img, last_img=last_img, q0=q0, ln=tc)
+                if c2a > c2:
+                    for dy in range(3):
+                        col[dy * cp + c1a + c2:(dy + 1) * cp] = jnp.zeros(
+                            (c2a - c2, tc * w), col.dtype)
+
+            # the three dx-variants of g (transpose of the fwd W-combine)
+            gval = g_ref[:, q0 * w:(q0 + tc) * w].astype(jnp.float32)
+            first, last = _edge_masks(w, tc * w)
+            is1 = _col_eq(w, tc * w, 1)
+            isw2 = _col_eq(w, tc * w, w - 2)
+            zero = jnp.zeros((1, 1), jnp.float32)
+            g0 = (jnp.where(last, zero, _roll(gval, -1, interpret))
+                  + jnp.where(is1, _roll(gval, 1, interpret), zero))
+            g2 = (jnp.where(first, zero, _roll(gval, 1, interpret))
+                  + jnp.where(isw2, _roll(gval, -1, interpret), zero))
+            gv[0:oa, :] = g0.astype(gv.dtype)
+            gv[oa:2 * oa, :] = gval.astype(gv.dtype)
+            gv[2 * oa:3 * oa, :] = g2.astype(gv.dtype)
+
+            # dw[dy, dx] += col_part_dy . g_variant_dx over the lane axis
+            dw_ref[...] += jax.lax.dot_general(
+                col[...], gv[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -746,6 +816,8 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
              prologue, interpret, x2_half_h=False):
     """Returns dwp [G, 3cp, 3oa] f32 (packed layout, same as pack_w3x3...
     but with dx blocks along columns in units of align8(o))."""
+    th, sub = _norm_th(th)
+    tc = th // sub
     total = g.shape[1]
     n_tiles = total // (w * th)
     tpi = h // th
@@ -759,7 +831,7 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     kern = _dw_kernel_maker(
         th=th, w=w, c1=c1, c2=c2, o=o, tpi=tpi, bt2=bt2, gt=gt,
         prologue=prologue, interpret=interpret,
-        x2_half=h2 if (c2 and x2_half_h) else 0)
+        x2_half=h2 if (c2 and x2_half_h) else 0, sub=sub)
 
     in_specs = [_x_spec(c1, th, w, n_tiles)]
     operands = [x1]
@@ -781,6 +853,7 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
     dwp = pl.pallas_call(
         kern,
         name=f"tr_dw_c{c1}x{c2}o{o}_th{th}w{w}"
+             f"{f's{sub}' if sub > 1 else ''}"
              f"{'hh' if (c2 and x2_half_h) else ''}",
         grid=(n_tiles,),
         in_specs=in_specs,
@@ -789,8 +862,8 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grp, 3 * cp, 3 * oa), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3 * cp, th * w), x1.dtype),
-            pltpu.VMEM((3 * oa, th * w), x1.dtype),
+            pltpu.VMEM((3 * cp, tc * w), x1.dtype),
+            pltpu.VMEM((3 * oa, tc * w), x1.dtype),
         ] + ([pltpu.VMEM((c2, (th + 8) * w), x1.dtype)]
              if (c2 and x2_half_h) else []),
         interpret=interpret,
@@ -799,7 +872,8 @@ def _conv_dw(g, x1, x2, scale, shift, *, h, w, th, c1, c2, o, n2_images,
 
 
 def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
-                        o: int, x2_half_h: bool = False) -> int:
+                        o: int, x2_half_h: bool = False,
+                        sub: int = 1) -> int:
     """Rough scoped-VMEM bytes for one train kernel at tile height ``th``.
     The dx backward kernel dominates: its f32 plane scratch spans 3*cp
     rows of (th+2)*w lanes, plus double-buffered in/out slabs.  (Measured
@@ -816,11 +890,13 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     cp = align8(c1) + (align8(c2) if c2 else 0)
     oa = align8(o)
     r2w = (th + 2) * w
+    tc = th // sub  # chunk rows (col/ys/gv/temps scale with tc)
     if kind in ("dx", "dx_split", "dx_fold", "dx_fold_split"):
+        c2w = (tc + 2) * w  # chunk column lanes
         cps = (max(c for _, c in _dx_chunks(cp, True))
                if kind.endswith("_split") else cp)
-        base = (3 * oa * r2w * 2        # g column scratch (bf16)
-                + 3 * cps * r2w * 4     # dx plane scratch (f32)
+        base = (3 * oa * c2w * 2        # g column scratch (bf16)
+                + 3 * cps * c2w * 4     # dx plane scratch (f32)
                 + 2 * cp * th * w * 4   # dx out block, double-buffered
                 + 2 * oa * (th + 6) * w * 2  # g in slab, double-buffered
                 + 2 * cp * th * w * 2)  # x1 prologue slab, double-buffered
@@ -828,7 +904,7 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
             # fold has no prologue slab but carries the f32 x2 accumulator
             base += align8(c2) * th * w * 4 - 2 * cp * th * w * 2
         return base
-    temps = 3 * oa * th * w * 4  # combine/stats vector temporaries (f32)
+    temps = 3 * oa * tc * w * 4  # combine/stats vector temporaries (f32)
     c2a = align8(c2) if c2 else 0
     if x2_half_h and c2:
         # x2 slab halves (th/2+6 of th+8 rows) but adds the full-res lerp
@@ -841,9 +917,9 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     else:
         slabs = 2 * cp * (th + 6) * w * 2
     if kind == "fwd":
-        return (3 * cp * th * w * 2 + 3 * oa * th * w * 4
+        return (3 * cp * tc * w * 2 + 3 * oa * tc * w * 4
                 + slabs + 2 * oa * th * w * 2 + temps)
-    return (3 * cp * th * w * 2 + 3 * oa * th * w * 2
+    return (3 * cp * tc * w * 2 + 3 * oa * tc * w * 2
             + slabs + 2 * oa * th * w * 2 + temps)
 
 
@@ -857,12 +933,27 @@ def estimate_vmem_train(th: int, w: int, c1: int, c2: int, o: int) -> int:
 # runs out — dx gains the most (inconv.c1 dx 3.79 -> 1.92 ms at th=64),
 # and fwd wins at 64 wherever it fits (inconv.c1 4.86 -> 4.42, down1.c1
 # 2.73 -> 1.66; the stages where 64 regressed are exactly the ones the
-# VMEM estimate rejects).  dw is non-monotone past 32 (down1 and dec.c2
-# prefer 16-32 even where 64 fits), so its ladder stays 32-first.
-_TH_LADDER = {"fwd": (64, 32, 16, 8, 4), "dx": (64, 32, 16, 8, 4),
-              "dx_split": (64, 32, 16, 8, 4), "dw": (32, 16, 8, 4),
-              "dx_fold": (64, 32, 16, 8, 4),
-              "dx_fold_split": (64, 32, 16, 8, 4)}
+# VMEM estimate rejects).  Round 5: rungs are (th, sub) pairs for fwd/dw
+# — sub>1 splits the tile into in-kernel chunks with chunk-sized col/ys
+# scratches (the eval kernels' scheme, ct_conv.py), so th=64 runs where
+# only th=32 scratches fit.  dw's plain th=64 measured non-monotone
+# (down1 and dec.c2 preferred 16-32 even where 64 fit — VMEM-pressure
+# spills), so its ladder leads with the chunked (64, 2) instead.
+_TH_LADDER = {
+    # fwd: (64, 4)'s chunk overhead loses to a plain th=32 (decoder fwd
+    # measured 7.94 vs 7.46 ms at B=128), so the quartered rung sits
+    # below (32, 1)
+    "fwd": ((64, 1), (64, 2), (32, 1), (64, 4), (32, 2), (16, 1), (8, 1),
+            (4, 1)),
+    "dw": ((64, 2), (64, 4), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
+    "dx": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
+    "dx_split": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
+                 (4, 1)),
+    "dx_fold": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
+                (4, 1)),
+    "dx_fold_split": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
+                      (4, 1)),
+}
 
 
 def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
@@ -874,8 +965,9 @@ def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
     train kernels depends only on th/w/channel counts — the batch size
     changes the grid length, never a per-tile allocation.  ``h = 2*th``
     keeps two tiles per image so the clamped/unclamped column paths both
-    compile."""
-    h = 2 * th
+    compile.  ``th`` may be a (th, sub) rung — the sub flows through to
+    the kernel wrappers."""
+    h = 2 * _norm_th(th)[0]
     grp = 2
     c1a = align8(c1)
     c2a = align8(c2) if c2 else 0
@@ -919,13 +1011,15 @@ def _probe_build_kind(kind: str, th: int, w: int, c1: int, c2: int,
     return fn, (g, x1p, x2p, wtp, sc, sh)
 
 
-def _probe_ok(kind: str, th: int, w: int, c1: int, c2: int, o: int,
+def _probe_ok(kind: str, th, w: int, c1: int, c2: int, o: int,
               prologue: bool, x2_half_h: bool = False) -> bool:
     from mimo_unet_tpu.ops.pallas.probe import probe_fits, probing_enabled
 
     if not probing_enabled():
         return True
-    key = (f"tr:{kind}:th{th}:w{w}:c{c1}x{c2}o{o}:p{int(prologue)}"
+    thi, sub = _norm_th(th)
+    key = (f"tr:{kind}:th{thi}{f'.{sub}' if sub > 1 else ''}:w{w}:"
+           f"c{c1}x{c2}o{o}:p{int(prologue)}"
            f"{':hh1' if x2_half_h else ''}")
     return probe_fits(
         key, lambda: _probe_build_kind(kind, th, w, c1, c2, o, prologue,
@@ -943,14 +1037,17 @@ def pick_th_kind(kind: str, h: int, w: int, c1: int, c2: int, o: int,
     (it deliberately over-rejects tiles that fit but regress); the probe
     is the authority on "fits" — an estimator lie can cost a rung of
     perf but can no longer ship a kernel that fails to compile
-    (VERDICT r3 item 2; two rounds of estimator-miss OOMs before it)."""
-    for th in _TH_LADDER[kind]:
+    (VERDICT r3 item 2; two rounds of estimator-miss OOMs before it).
+    Returns a (th, sub) rung (sub=1 unless the kind's ladder carries
+    chunked rungs)."""
+    for th, sub in _TH_LADDER[kind]:
         if x2_half_h and not (h % 2 == 0 and th // 2 + 6 <= h // 2):
             continue
         if h % th == 0 and _estimate_vmem_kind(
-                kind, th, w, c1, c2, o, x2_half_h) <= budget:
-            if _probe_ok(kind, th, w, c1, c2, o, prologue, x2_half_h):
-                return th
+                kind, th, w, c1, c2, o, x2_half_h, sub=sub) <= budget:
+            if _probe_ok(kind, (th, sub), w, c1, c2, o, prologue,
+                         x2_half_h):
+                return (th, sub)
     return None
 
 
@@ -962,15 +1059,15 @@ def pick_th_kind_forced(kind: str, h: int, w: int, c1: int, c2: int,
     dividing rung <= min(th_cap, 16) that compile-probes clean.  Off-TPU
     this keeps the historical ``min(th_cap, 16)`` choice (ADVICE r3: the
     unprobed fallback could itself exceed scoped VMEM)."""
-    cap = min(th_cap, 16)
+    cap = min(_norm_th(th_cap)[0], 16)
     from mimo_unet_tpu.ops.pallas.probe import probing_enabled
 
     if not probing_enabled():
-        return cap
-    for th in _TH_LADDER[kind]:
+        return (cap, 1)
+    for th, sub in _TH_LADDER[kind]:
         if th <= cap and h % th == 0 and _probe_ok(
-                kind, th, w, c1, c2, o, prologue, x2_half_h):
-            return th
+                kind, (th, sub), w, c1, c2, o, prologue, x2_half_h):
+            return (th, sub)
     raise RuntimeError(
         f"no CT train {kind} tile compiles for w={w}, c1={c1}, c2={c2}, "
         f"o={o} — even th=4 exceeds scoped VMEM on this chip; the shape "
@@ -1105,7 +1202,7 @@ def _train_bwd_rule(h, w, th, c1, c2, o, n2_images, interpret, x2_half_h,
     if cp_ >= 64:
         th_dxs = pick_th_kind(kind_base + "_split", h, w, c1, c2, o,
                               prologue=prologue)
-        if th_dxs is not None and th_dxs > th_dx:
+        if th_dxs is not None and th_dxs[0] > th_dx[0]:
             th_dx, dx_split = th_dxs, True
     th_dw = (pick_th_kind("dw", h, w, c1, c2, o, prologue=prologue,
                           x2_half_h=x2_half_h)

@@ -117,6 +117,63 @@ class TestConvTrainKernel:
             atol=3e-2 * float(jnp.max(jnp.abs(gr[3]))))
 
 
+class TestSubChunk:
+    @pytest.mark.parametrize("prologue", [False, True])
+    @pytest.mark.parametrize("c2", [0, 6])
+    def test_chunked_fwd_dw_match_whole_tile(self, c2, prologue):
+        """(th, sub) rungs for the train fwd/dw kernels: sub splits the
+        tile into in-kernel chunks with chunk-sized col/ys scratches.
+        Chunking changes scratch sizes and the per-chunk build windows,
+        not any dot contraction, so the conv output is bitwise the
+        whole-tile kernel's; the f32 stats/dw accumulators split their
+        sums per chunk (reorder-only difference, tight allclose).
+        Tile 0's interior chunks exercise the clamped q0>0 build path;
+        the last chunk carries the row-H reflect fix."""
+        from mimo_unet_tpu.ops.pallas.ct_train import _conv_dw, _conv_fwd
+
+        c1, o, h, w, grp = 5, 6, 32, 256, 2
+        if prologue and c2:
+            pytest.skip("prologue+c2 not used by the train path")
+        c1a = align8(c1)
+        c2a = align8(c2) if c2 else 0
+        cp = c1a + c2a
+        oa = align8(o)
+        total = grp * h * w
+        ks = jax.random.split(jax.random.key(11), 6)
+        x1 = jax.random.normal(ks[0], (c1, total)).astype(jnp.bfloat16)
+        x2 = (jax.random.normal(ks[1], (c2, h * w)).astype(jnp.bfloat16)
+              if c2 else None)
+        wp = jax.random.normal(ks[2], (grp, 3 * cp, 3 * oa)) * 0.2
+        if prologue:
+            sc = jnp.abs(jax.random.normal(ks[3], (grp, cp, 1))) + 0.5
+            sh = jax.random.normal(ks[4], (grp, cp, 1)) * 0.3
+        else:
+            sc = jnp.ones((grp, cp, 1), jnp.float32)
+            sh = jnp.zeros((grp, cp, 1), jnp.float32)
+        g = jax.random.normal(ks[5], (oa, total)).astype(jnp.bfloat16)
+
+        kw = dict(h=h, w=w, c1=c1, c2=c2, o=o, n2_images=1 if c2 else 0,
+                  prologue=prologue, interpret=True)
+        y1, s1, q1 = _conv_fwd(x1, x2, wp, sc, sh, th=(16, 1), **kw)
+        dw1 = _conv_dw(g, x1, x2, sc, sh, th=(16, 1), **kw)
+        for sub in (2, 4):
+            ys, ss, qs = _conv_fwd(x1, x2, wp, sc, sh, th=(16, sub), **kw)
+            np.testing.assert_array_equal(
+                np.asarray(y1, np.float32), np.asarray(ys, np.float32),
+                err_msg=f"fwd sub={sub}")
+            np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(ss), rtol=1e-5, atol=1e-3,
+                err_msg=f"sum sub={sub}")
+            np.testing.assert_allclose(
+                np.asarray(q1), np.asarray(qs), rtol=1e-5, atol=1e-3,
+                err_msg=f"sumsq sub={sub}")
+            dws = _conv_dw(g, x1, x2, sc, sh, th=(16, sub), **kw)
+            np.testing.assert_allclose(
+                np.asarray(dw1), np.asarray(dws), rtol=1e-5,
+                atol=1e-4 * float(jnp.max(jnp.abs(dw1))),
+                err_msg=f"dw sub={sub}")
+
+
 class TestTrainFastPath:
     @pytest.fixture(scope="class")
     def setup(self):
@@ -400,18 +457,78 @@ class TestDxSplit:
             np.testing.assert_array_equal(np.asarray(va, np.float32),
                                           np.asarray(vb, np.float32))
 
+    def test_subchunk_dx_matches_whole_tile(self):
+        """(th, sub) dx rungs: each chunk computes dz rows [s*tc,
+        (s+1)*tc) from a two-row-overlap column window — the dot
+        contraction per output lane is identical, so dx/dx2 are bitwise
+        the whole-tile kernel's; the dsc/dsh channel reductions split
+        per chunk (tight allclose).  Covers the prologue path and the
+        period-fold grid (decoder conv1) including tile 0's clamped
+        interior chunks and the edge reflect folds."""
+        from mimo_unet_tpu.ops.pallas.ct_train import _conv_dx
+
+        c1, c2, o = 24, 48, 31
+        h, w, n = 16, 256, 4
+        oa = align8(o)
+        cp = align8(c1) + align8(c2)
+        ks = jax.random.split(jax.random.key(1), 5)
+        g = jax.random.normal(ks[0], (oa, n * h * w)).astype(jnp.bfloat16)
+        x1 = jax.random.normal(
+            ks[1], (align8(c1), n * h * w)).astype(jnp.bfloat16)
+        x2 = jax.random.normal(
+            ks[4], (align8(c2), (n // 2) * h * w)).astype(jnp.bfloat16)
+        wtp = jax.random.normal(ks[2], (1, 3 * oa, 3 * cp)).astype(
+            jnp.bfloat16)
+        sc = jnp.abs(jax.random.normal(ks[3], (1, cp, 1))) + 0.1
+        sh = jnp.zeros((1, cp, 1))
+        kw = dict(h=h, w=w, c1=c1, c2=c2, o=o, prologue=True,
+                  interpret=True, out_dtype=jnp.bfloat16)
+        a = _conv_dx(g, x1, x2, wtp, sc, sh, th=(8, 1), **kw)
+        for sub in (2, 4):
+            b = _conv_dx(g, x1, x2, wtp, sc, sh, th=(8, sub), **kw)
+            np.testing.assert_array_equal(
+                np.asarray(a[0], np.float32), np.asarray(b[0], np.float32),
+                err_msg=f"dx sub={sub}")
+            for va, vb in zip(a[1:], b[1:]):
+                np.testing.assert_allclose(
+                    np.asarray(va, np.float32), np.asarray(vb, np.float32),
+                    rtol=1e-5, atol=1e-3, err_msg=f"sub={sub}")
+
+        # period-fold grid (reps == groups == 2): dx1/dx2 bitwise
+        grp = 2
+        wtp2 = jax.random.normal(ks[2], (grp, 3 * oa, 3 * cp)).astype(
+            jnp.bfloat16)
+        sc2 = jnp.ones((grp, cp, 1), jnp.float32)
+        sh2 = jnp.zeros((grp, cp, 1), jnp.float32)
+        n2_total = (n // grp) * h * w
+        kwf = dict(h=h, w=w, c1=c1, c2=c2, o=o, prologue=False,
+                   interpret=True, out_dtype=jnp.bfloat16,
+                   fold_n2_total=n2_total)
+        x2f = jax.random.normal(ks[4], (align8(c2), n2_total)).astype(
+            jnp.bfloat16)
+        a = _conv_dx(g, None, None, wtp2, sc2, sh2, th=(8, 1), **kwf)
+        for sub in (2, 4):
+            b = _conv_dx(g, None, None, wtp2, sc2, sh2, th=(8, sub), **kwf)
+            np.testing.assert_array_equal(
+                np.asarray(a[0], np.float32), np.asarray(b[0], np.float32),
+                err_msg=f"fold dx1 sub={sub}")
+            np.testing.assert_array_equal(
+                np.asarray(a[1], np.float32), np.asarray(b[1], np.float32),
+                err_msg=f"fold dx2 sub={sub}")
+
 
 class TestPoolCT:
-    def test_ct_pool_matches_4d_reduce_window_bitwise(self):
+    @pytest.mark.parametrize("c,n,h,w", [(8, 3, 8, 256), (8, 4, 8, 128)])
+    def test_ct_pool_matches_4d_reduce_window_bitwise(self, c, n, h, w):
         """max_pool2x2_ct is a layout-preserving restructure of the 4D
         reshape + reduce_window pool (reference MaxPool2d,
         components.py:48): forward and equality-mask gradient must agree
-        bitwise, including on ties."""
+        bitwise, including on ties.  w=128 is the core-boundary pool
+        (down1 output at half resolution)."""
         from mimo_unet_tpu.models.fast_path import _max_pool_ct
         from mimo_unet_tpu.ops.pallas.ct_elem import (max_pool2x2_ct,
                                                       pool_ct_supported)
 
-        c, n, h, w = 8, 3, 8, 256
         assert pool_ct_supported(c, n, h, w)
         x = jax.random.normal(jax.random.key(0), (c, n * h * w)).astype(
             jnp.bfloat16)
@@ -455,7 +572,8 @@ class TestPoolCT:
                 np.asarray(want, np.float32), np.asarray(got, np.float32),
                 err_msg=f"c={c} rows={rows} w={w}")
 
-    def test_pool_skip_fused_backward_matches_unfused(self):
+    @pytest.mark.parametrize("c,n,h,w", [(8, 3, 8, 256), (8, 4, 8, 128)])
+    def test_pool_skip_fused_backward_matches_unfused(self, c, n, h, w):
         """max_pool2x2_skip_ct routes the skip cotangent through the pool
         backward kernel; its gradient must equal pool-grad + skip-grad.
         In f32 both orders are exact (bitwise); in bf16 the fused form
@@ -464,7 +582,6 @@ class TestPoolCT:
                                                       max_pool2x2_skip_ct,
                                                       pool_skip_ct_supported)
 
-        c, n, h, w = 8, 3, 8, 256
         assert pool_skip_ct_supported(c, n, h, w)
         key = jax.random.key(3)
         wts_p = jax.random.normal(jax.random.key(4),

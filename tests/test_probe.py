@@ -85,7 +85,7 @@ class TestLadderFallback:
         monkeypatch.setattr(probe_mod, "probe_fits", _fake_probe(16))
         # estimator accepts th=64 at this narrow shape; the probe veto
         # must drop the pick to 16, not ship 64 (the BENCH_r03 mode)
-        assert pick_th_kind("fwd", 64, 256, 8, 0, 8, prologue=False) == 16
+        assert pick_th_kind("fwd", 64, 256, 8, 0, 8, prologue=False) == (16, 1)
         from mimo_unet_tpu.ops.pallas.ct_conv import pick_th, pick_th9
 
         assert pick_th(64, 256, 8, 0, 8, 8, 8) == (16, 1)
@@ -95,7 +95,7 @@ class TestLadderFallback:
         monkeypatch.setattr(probe_mod, "probing_enabled", lambda: True)
         monkeypatch.setattr(probe_mod, "probe_fits", _fake_probe(4))
         assert pick_th_kind_forced("dw", 64, 256, 8, 0, 8, 64,
-                                   prologue=True) == 4
+                                   prologue=True) == (4, 1)
 
     def test_nothing_compiles_raises(self, monkeypatch):
         monkeypatch.setattr(probe_mod, "probing_enabled", lambda: True)
@@ -105,9 +105,9 @@ class TestLadderFallback:
 
     def test_off_tpu_keeps_historical_fallback(self):
         assert pick_th_kind_forced("dw", 64, 256, 8, 0, 8, 64,
-                                   prologue=True) == 16
+                                   prologue=True) == (16, 1)
         assert pick_th_kind_forced("dx", 64, 256, 8, 0, 8, 8,
-                                   prologue=False) == 8
+                                   prologue=False) == (8, 1)
 
 
 class TestEstimatorLieStillTrains:
