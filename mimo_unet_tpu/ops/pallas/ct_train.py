@@ -889,7 +889,6 @@ def _estimate_vmem_kind(kind: str, th: int, w: int, c1: int, c2: int,
     estimate — ~2.3 extra f32 output planes; budgeted as 3."""
     cp = align8(c1) + (align8(c2) if c2 else 0)
     oa = align8(o)
-    r2w = (th + 2) * w
     tc = th // sub  # chunk rows (col/ys/gv/temps scale with tc)
     if kind in ("dx", "dx_split", "dx_fold", "dx_fold_split"):
         c2w = (tc + 2) * w  # chunk column lanes
@@ -946,13 +945,14 @@ _TH_LADDER = {
     "fwd": ((64, 1), (64, 2), (32, 1), (64, 4), (32, 2), (16, 1), (8, 1),
             (4, 1)),
     "dw": ((64, 2), (64, 4), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
-    "dx": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
-    "dx_split": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
-                 (4, 1)),
-    "dx_fold": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
-                (4, 1)),
-    "dx_fold_split": ((64, 1), (64, 2), (32, 1), (32, 2), (16, 1), (8, 1),
-                      (4, 1)),
+    # dx: no (64, 1) rung — it passes the standalone probe at exactly the
+    # 16 MiB line but OOMs by ~20 KB inside the full train graph (probe
+    # context can under-measure marginal stack use); the chunked (64, 2)
+    # reaches the same tile depth with half the col/ys footprint
+    "dx": ((64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
+    "dx_split": ((64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
+    "dx_fold": ((64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
+    "dx_fold_split": ((64, 2), (32, 1), (32, 2), (16, 1), (8, 1), (4, 1)),
 }
 
 
@@ -1018,7 +1018,12 @@ def _probe_ok(kind: str, th, w: int, c1: int, c2: int, o: int,
     if not probing_enabled():
         return True
     thi, sub = _norm_th(th)
-    key = (f"tr:{kind}:th{thi}{f'.{sub}' if sub > 1 else ''}:w{w}:"
+    # "tr2": probe results are only valid for the kernel code that was
+    # probed — the round-5 chunk-loop restructure shifted Mosaic's stack
+    # allocation by ~20 KB even at sub=1 (dec.c2 dx at th=64 crossed the
+    # 16 MiB line with a stale "fits" cached under the old key), so the
+    # version prefix retires every pre-chunking cache entry
+    key = (f"tr2:{kind}:th{thi}{f'.{sub}' if sub > 1 else ''}:w{w}:"
            f"c{c1}x{c2}o{o}:p{int(prologue)}"
            f"{':hh1' if x2_half_h else ''}")
     return probe_fits(

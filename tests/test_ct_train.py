@@ -504,8 +504,6 @@ class TestDxSplit:
         kwf = dict(h=h, w=w, c1=c1, c2=c2, o=o, prologue=False,
                    interpret=True, out_dtype=jnp.bfloat16,
                    fold_n2_total=n2_total)
-        x2f = jax.random.normal(ks[4], (align8(c2), n2_total)).astype(
-            jnp.bfloat16)
         a = _conv_dx(g, None, None, wtp2, sc2, sh2, th=(8, 1), **kwf)
         for sub in (2, 4):
             b = _conv_dx(g, None, None, wtp2, sc2, sh2, th=(8, sub), **kwf)
